@@ -1,0 +1,211 @@
+"""Typed configuration tree for the whole engine.
+
+Replaces the reference's three config mechanisms with one dataclass tree
+(ROS launch params `launch/radar_odometry.launch:5-14`, compile-time
+`#define` forks `src/iterative_closest_point.cpp:28-33`, and the hard-coded
+REVE config struct `src/radar_odometry.cpp:574-611`). All values default to
+the reference's behavioral constants so a default-constructed config
+reproduces the reference pipeline semantics.
+
+Configs are plain frozen dataclasses so they hash cleanly as jit static
+arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DopplerRansacConfig:
+    """Doppler sine-model RANSAC (ref `fitSineRansac`,
+    src/iterative_closest_point.cpp:85-128).
+
+    Model: v_r * cos(beta) = A * cos(alpha + b). The reference draws
+    0.2*N sequential 2-point hypotheses (:389); here hypotheses are a fixed
+    batch scored in one shot on the VPU/MXU.
+    """
+
+    num_hypotheses: int = 256          # ref: 0.2*N sequential iterations (:389)
+    inlier_sigma: float = 0.5          # ref sigma=0.5 (:89)
+    static_threshold: float = 0.2      # ref delta > 0.2 -> dynamic (:396)
+    # The reference's split is one-sided (only delta > +0.2 is dynamic,
+    # :394-403). Keep that quirk by default for behavioral parity.
+    two_sided_split: bool = False
+
+
+@dataclass(frozen=True)
+class ReveConfig:
+    """REVE-style radar ego-velocity estimator gates (ref config_init,
+    src/radar_odometry.cpp:574-611)."""
+
+    min_dist: float = 0.25
+    max_dist: float = 100.0
+    min_db: float = 0.0
+    elevation_thresh_deg: float = 60.0
+    azimuth_thresh_deg: float = 60.0
+    filter_min_z: float = -3.0
+    filter_max_z: float = 3.0
+    doppler_velocity_correction_factor: float = 1.0
+    thresh_zero_velocity: float = 0.05
+    allowed_outlier_percentage: float = 0.25
+    sigma_zero_velocity_x: float = 0.025
+    sigma_zero_velocity_y: float = 0.025
+    sigma_zero_velocity_z: float = 0.025
+    max_sigma_x: float = 0.2
+    max_sigma_y: float = 0.2
+    max_sigma_z: float = 0.2
+    max_r_cond: float = 1000.0
+    use_ransac: bool = True
+    outlier_prob: float = 0.4
+    success_prob: float = 0.9999
+    n_ransac_points: int = 3
+    inlier_thresh: float = 0.15
+    sigma_v_d: float = 0.125
+
+    @property
+    def ransac_iterations(self) -> int:
+        """Iteration count from (outlier_prob, success_prob, N_ransac_points),
+        the standard RANSAC trial formula REVE uses."""
+        import math
+
+        denom = math.log(1.0 - (1.0 - self.outlier_prob) ** self.n_ransac_points)
+        return max(1, int(math.ceil(math.log(1.0 - self.success_prob) / denom)))
+
+
+@dataclass(frozen=True)
+class IcpConfig:
+    """Point-to-point ICP (ref pcl::IterativeClosestPoint usage,
+    src/iterative_closest_point.cpp:508-521; PCL defaults apply since the
+    reference sets nothing: max 10 iterations, no correspondence gating)."""
+
+    max_iterations: int = 10            # PCL default (setMaximumIterations commented, :513)
+    max_correspondence_dist: float = 1e8  # PCL default: effectively ungated
+    transformation_epsilon: float = 0.0   # PCL default
+    fitness_epsilon: float = -1.0         # disabled, like PCL default
+
+
+@dataclass(frozen=True)
+class GicpConfig:
+    """GICP scan-to-submap registration (ref FastGICPSingleThread usage,
+    src/radar_odometry.cpp:399-411)."""
+
+    k_correspondences: int = 5       # ref setCorrespondenceRandomness(5) (:404)
+    max_iterations: int = 64         # FastGICP default
+    max_correspondence_dist: float = 2.0  # ref MAX_SEARCH_RADIUS (:35)
+    transformation_epsilon: float = 1e-4
+    cov_epsilon: float = 1e-3        # plane-regularized covariance floor (GICP standard)
+    lm_lambda: float = 1e-6          # Levenberg damping on the 6x6 system
+
+
+@dataclass(frozen=True)
+class VoxelMapConfig:
+    """TPU-resident voxel-hash map (replaces ikd-Tree,
+    third_party/ikd-Tree/ikd_Tree.{h,cpp}; semantics: keep the point nearest
+    the voxel center per 0.5 m voxel, ikd_Tree.cpp:422-497)."""
+
+    voxel_size: float = 0.5           # ref set_downsample_param(0.5), radar_odometry.cpp:348
+    capacity: int = 1 << 18           # hash table slots (voxels)
+    max_probes: int = 16              # linear-probe bound
+    submap_max_points: int = 1 << 14  # fixed-size sector-query output
+    sector_radius: float = 80.0       # ref RADAR_RADIUS (radar_odometry.cpp:36)
+    sector_half_angle_deg: float = 60.0  # ref ikd_Tree.cpp:1114-1117 heading window
+
+
+@dataclass(frozen=True)
+class SubmapConfig:
+    """Scan-accumulating submap builder (ref
+    src/iterative_closest_point.cpp:577-633)."""
+
+    scans_per_submap: int = 20        # ref submap_cnt == 20 (:590)
+
+
+@dataclass(frozen=True)
+class PoseGraphConfig:
+    """Keyframe pose-graph Gauss-Newton back-end (activates the factors the
+    reference left dormant, include/radarFactor.hpp:11-171)."""
+
+    max_iterations: int = 10
+    damping: float = 1e-6
+    huber_delta: float = 1.0
+    convergence_eps: float = 1e-8
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / sharding layout (no reference counterpart; the reference
+    is single-process — SURVEY.md section 2 parallelism call-out)."""
+
+    data_axis: str = "dp"             # scans / factors / residual blocks
+    map_axis: str = "map"             # spatial map shards
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level engine config."""
+
+    max_points: int = 4096            # padded per-scan point budget
+    dtype: str = "float32"
+    seed: int = 0
+    doppler: DopplerRansacConfig = field(default_factory=DopplerRansacConfig)
+    reve: ReveConfig = field(default_factory=ReveConfig)
+    icp: IcpConfig = field(default_factory=IcpConfig)
+    gicp: GicpConfig = field(default_factory=GicpConfig)
+    voxel_map: VoxelMapConfig = field(default_factory=VoxelMapConfig)
+    submap: SubmapConfig = field(default_factory=SubmapConfig)
+    pose_graph: PoseGraphConfig = field(default_factory=PoseGraphConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ------------------------------------------------------------------
+    # (De)serialization — YAML-free JSON round trip, CLI override support.
+    # ------------------------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineConfig":
+        return _from_dict(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "PipelineConfig":
+        return cls.from_dict(json.loads(s))
+
+    def override(self, **kv: Any) -> "PipelineConfig":
+        """Dotted-path overrides: cfg.override(**{"icp.max_iterations": 30})."""
+        d = self.to_dict()
+        for key, value in kv.items():
+            node = d
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config key: {key}")
+            node[parts[-1]] = value
+        return type(self).from_dict(d)
+
+
+def _from_dict(cls, d):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    hints = {f.name: f for f in dataclasses.fields(cls)}
+    for name, value in d.items():
+        if name not in hints:
+            raise KeyError(f"unknown config field {cls.__name__}.{name}")
+        f = hints[name]
+        sub = f.type if isinstance(f.type, type) else None
+        if sub is None:
+            # dataclass fields carry string annotations under
+            # `from __future__ import annotations`; resolve from globals.
+            sub = globals().get(str(f.type).strip("'\""), None)
+        if sub is not None and dataclasses.is_dataclass(sub) and isinstance(value, dict):
+            kwargs[name] = _from_dict(sub, value)
+        else:
+            kwargs[name] = value
+    return cls(**kwargs)

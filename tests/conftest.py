@@ -1,0 +1,32 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware (SURVEY.md §4).
+
+Must run before the first `import jax` anywhere in the test session.
+"""
+
+import os
+
+# The container's sitecustomize force-registers the axon TPU plugin and pins
+# JAX_PLATFORMS=axon; plain env vars are therefore not enough — override both
+# the env and the live jax config before any backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
