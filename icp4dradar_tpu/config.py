@@ -32,6 +32,7 @@ class DopplerRansacConfig:
     num_hypotheses: int = 256          # ref: 0.2*N sequential iterations (:389)
     inlier_sigma: float = 0.5          # ref sigma=0.5 (:89)
     static_threshold: float = 0.2      # ref delta > 0.2 -> dynamic (:396)
+    refine_iters: int = 2              # IRLS polish rounds (0 = raw 2-pt fit)
     # The reference's split is one-sided (only delta > +0.2 is dynamic,
     # :394-403). Keep that quirk by default for behavioral parity.
     two_sided_split: bool = False

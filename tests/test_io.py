@@ -1,0 +1,132 @@
+"""IO tests: bin round-trip, format adapter, scan container, synthetic data."""
+
+import numpy as np
+import pytest
+
+from icp4dradar_tpu.io import (
+    BinSequenceDataset,
+    RadarScan,
+    SyntheticSequence,
+    adapt_point_records,
+    detect_format,
+    frame_path,
+    read_radar_bin,
+    write_radar_bin,
+)
+
+
+class TestBinIO:
+    def test_roundtrip(self, rng, tmp_path):
+        rec = rng.normal(size=(137, 5)).astype(np.float32)
+        p = str(tmp_path / "data" / "radar_pointcloud_0.bin")
+        write_radar_bin(p, rec)
+        back = read_radar_bin(p)
+        np.testing.assert_array_equal(back, rec)
+
+    def test_missing_file_empty(self, tmp_path):
+        # ref behavior: missing path -> empty buffer (iterative_closest_point.cpp:77-81)
+        out = read_radar_bin(str(tmp_path / "nope.bin"))
+        assert out.shape == (0, 5)
+
+    def test_partial_record_dropped(self, tmp_path):
+        raw = np.arange(12, dtype=np.float32)  # 2 full records + 2 floats
+        p = str(tmp_path / "x.bin")
+        raw.tofile(p)
+        out = read_radar_bin(p)
+        assert out.shape == (2, 5)
+
+
+class TestFormats:
+    def test_detect_priority(self):
+        assert detect_format(["x", "y", "z", "snr_db", "noise_db", "v_doppler_mps"]) == "rio"
+        assert detect_format(["x", "y", "z", "intensity", "velocity"]) == "ti_mmwave"
+        assert detect_format(
+            ["x", "y", "z", "Doppler", "Range", "Power", "Alpha", "Beta"]
+        ) == "oculii"
+        assert detect_format(["x", "y", "z", "intensity", "range", "doppler"]) == "coloradar"
+        assert detect_format(["x", "y", "z"]) is None
+
+    def test_ti_mmwave_axis_swap(self, rng):
+        # ref: x = -y_raw, y = x_raw (radar_odometry.cpp:504-505)
+        cols = {
+            "x": np.array([1.0]), "y": np.array([2.0]), "z": np.array([3.0]),
+            "intensity": np.array([9.0]), "velocity": np.array([-1.0]),
+        }
+        f = adapt_point_records(cols)
+        np.testing.assert_allclose(f.xyz[0], [-2.0, 1.0, 3.0])
+        assert f.noise_db[0] == -1.0
+
+    def test_rio_range_from_norm(self):
+        cols = {
+            "x": np.array([3.0]), "y": np.array([4.0]), "z": np.array([0.0]),
+            "snr_db": np.array([1.0]), "noise_db": np.array([2.0]),
+            "v_doppler_mps": np.array([0.5]),
+        }
+        f = adapt_point_records(cols)
+        np.testing.assert_allclose(f.range, [5.0])
+
+    def test_unsupported_raises(self):
+        with pytest.raises(ValueError, match="unsupported"):
+            adapt_point_records({"x": np.zeros(1), "y": np.zeros(1), "foo": np.zeros(1)})
+
+
+class TestRadarScan:
+    def test_padding_and_mask(self, rng):
+        xyz = rng.normal(size=(100, 3)).astype(np.float32)
+        s = RadarScan.from_arrays(xyz, max_points=256)
+        assert s.xyz.shape == (256, 3)
+        assert float(s.num_valid) == 100.0
+
+    def test_truncation(self, rng):
+        xyz = rng.normal(size=(300, 3)).astype(np.float32)
+        s = RadarScan.from_arrays(xyz, max_points=256)
+        assert float(s.num_valid) == 256.0
+
+    def test_spherical_derivations(self):
+        # point straight ahead at 10 m, one up at 45 deg elevation
+        xyz = np.array([[10.0, 0.0, 0.0], [1.0, 0.0, 1.0]], dtype=np.float32)
+        s = RadarScan.from_arrays(xyz, max_points=4)
+        np.testing.assert_allclose(np.asarray(s.range)[:2], [10.0, np.sqrt(2.0)], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s.azimuth)[:2], [0.0, 0.0], atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(s.elevation)[:2], [0.0, np.pi / 4], atol=1e-6
+        )
+        # direction == K-matrix rows (iterative_closest_point.cpp:418-420)
+        d = np.asarray(s.direction)[1]
+        np.testing.assert_allclose(d, [np.sqrt(0.5), 0.0, np.sqrt(0.5)], atol=1e-6)
+
+
+class TestSyntheticAndDataset:
+    def test_sequence_writes_and_reads(self, tmp_path):
+        seq = SyntheticSequence(num_frames=3, max_points=512, num_landmarks=3000)
+        seq.write_bin_sequence(str(tmp_path))
+        ds = BinSequenceDataset(str(tmp_path), max_points=512, use_native=False)
+        assert len(ds) == 3
+        s0 = ds[0]
+        ref = seq.scan(0)
+        assert abs(float(s0.num_valid) - float(ref.num_valid)) < 1e-6
+
+    def test_doppler_consistent_with_ego_velocity(self):
+        seq = SyntheticSequence(
+            num_frames=5, max_points=1024, num_landmarks=8000,
+            doppler_noise=0.0, dynamic_fraction=0.0,
+        )
+        s = seq.scan(2)
+        v = seq.ego_velocity(2)
+        d = np.asarray(s.direction)
+        m = np.asarray(s.mask) > 0.5
+        pred = d[m] @ v
+        np.testing.assert_allclose(np.asarray(s.doppler)[m], pred, atol=1e-2)
+
+    def test_dynamic_truth_alignment(self):
+        seq = SyntheticSequence(num_frames=3, max_points=512, num_landmarks=4000,
+                                dynamic_fraction=0.2, doppler_noise=0.0)
+        s = seq.scan(1)
+        dyn = seq.dynamic_truth(1)
+        v = seq.ego_velocity(1)
+        d = np.asarray(s.direction)
+        resid = np.asarray(s.doppler) - d @ v
+        m = np.asarray(s.mask) > 0.5
+        # dynamic points have big positive residual; static ones ~0
+        assert resid[m & dyn].min() > 0.5
+        assert np.abs(resid[m & ~dyn]).max() < 0.5
