@@ -86,14 +86,19 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     w = so3_log(R)
     theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
     theta2 = theta * theta
-    small = theta < 1e-5
+    # Wide Taylor window: for theta < 1e-2 the closed form catastrophically
+    # cancels in f32 (1 - (t/2)cot(t/2) ~ t^2/12 underflows), while the
+    # Taylor error at 1e-2 is ~1e-13.
+    small = theta < 1e-2
     K = so3_hat(w)
-    # V^{-1} = I - K/2 + (1/t^2 - (1+cos)/(2 t sin)) K^2, Taylor near 0
+    # V^{-1} = I - K/2 + cot_term * K^2,
+    # cot_term = (1 - (t/2) cot(t/2)) / t^2  ->  1/12 + t^2/720 near 0.
+    half = 0.5 * theta
+    cot_half = jnp.cos(half) / jnp.where(small, 1.0, jnp.sin(half))
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - theta * jnp.sin(theta) / jnp.where(small, 1.0, 2.0 * (1.0 - jnp.cos(theta))))
-        / jnp.where(small, 1.0, theta2),
+        (1.0 - half * cot_half) / jnp.where(small, 1.0, theta2),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
     Vinv = eye - 0.5 * K + cot_term[..., None] * (K @ K)

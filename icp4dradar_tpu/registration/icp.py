@@ -1,0 +1,84 @@
+"""Point-to-point ICP: tiled NN correspondence + weighted Kabsch in a
+jittable loop.
+
+Behavioral spec: PCL `pcl::IterativeClosestPoint` as used by the reference
+(src/iterative_closest_point.cpp:508-521) — default 10 iterations, no
+correspondence gating, SVD transform estimation, fitness = mean squared
+correspondence distance (`getFitnessScore`, :516, :520). The per-iteration
+NN search runs as one MXU-tiled kernel instead of a kd-tree
+(ops/knn.py), and the loop is a lax.while_loop with a transform-epsilon
+early exit (SURVEY.md §7 step 3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from icp4dradar_tpu.config import IcpConfig
+from icp4dradar_tpu.geom import kabsch_umeyama, se3_apply, se3_identity, se3_log
+from icp4dradar_tpu.ops import nearest_neighbor
+
+
+@struct.dataclass
+class IcpResult:
+    transform: jnp.ndarray   # (4,4) T: src -> tgt
+    converged: jnp.ndarray   # () bool (transform-epsilon reached)
+    fitness: jnp.ndarray     # () mean squared correspondence distance
+    iterations: jnp.ndarray  # () int32
+
+
+def icp_point_to_point(
+    src_xyz: jnp.ndarray,
+    tgt_xyz: jnp.ndarray,
+    src_mask: Optional[jnp.ndarray] = None,
+    tgt_mask: Optional[jnp.ndarray] = None,
+    init_transform: Optional[jnp.ndarray] = None,
+    cfg: IcpConfig = IcpConfig(),
+) -> IcpResult:
+    """Align src onto tgt. Masked, fixed-shape, jit/vmap-safe."""
+    if src_mask is None:
+        src_mask = jnp.ones(src_xyz.shape[0], dtype=src_xyz.dtype)
+    if tgt_mask is None:
+        tgt_mask = jnp.ones(tgt_xyz.shape[0], dtype=tgt_xyz.dtype)
+    T0 = se3_identity(src_xyz.dtype) if init_transform is None else init_transform
+    max_d2 = jnp.asarray(cfg.max_correspondence_dist, src_xyz.dtype) ** 2
+
+    def correspondence_weights(moved):
+        idx, d2 = nearest_neighbor(moved, tgt_xyz, tgt_mask)
+        w = src_mask * (d2 < max_d2)
+        return idx, d2, w
+
+    def cond(state):
+        T, it, delta = state
+        return (it < cfg.max_iterations) & (delta > cfg.transformation_epsilon)
+
+    def body(state):
+        T, it, _ = state
+        moved = se3_apply(T, src_xyz)
+        idx, d2, w = correspondence_weights(moved)
+        corr = tgt_xyz[idx]
+        dT = kabsch_umeyama(moved, corr, w)
+        T_new = dT @ T
+        delta = jnp.sum(jnp.abs(se3_log(dT)))
+        return (T_new, it + 1, delta)
+
+    # delta starts above epsilon so the loop runs at least once
+    init = (T0, jnp.int32(0), jnp.asarray(jnp.inf, src_xyz.dtype))
+    T, iters, delta = jax.lax.while_loop(cond, body, init)
+
+    # PCL-style fitness: mean squared NN distance of valid src points under
+    # the final transform (getFitnessScore default: no max_range gate).
+    moved = se3_apply(T, src_xyz)
+    _, d2_fit = nearest_neighbor(moved, tgt_xyz, tgt_mask)
+    n_valid = jnp.maximum(jnp.sum(src_mask), 1.0)
+    fitness = jnp.sum(d2_fit * src_mask) / n_valid
+    converged = delta <= jnp.maximum(cfg.transformation_epsilon, 1e-12)
+    # PCL reports converged=true when it ran to completion; mirror by also
+    # accepting the iteration cap.
+    converged = converged | (iters >= cfg.max_iterations)
+    return IcpResult(transform=T, converged=converged, fitness=fitness,
+                     iterations=iters)

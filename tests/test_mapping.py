@@ -1,0 +1,168 @@
+"""Voxel-hash map property tests vs numpy brute-force oracles (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp4dradar_tpu.mapping import (
+    VoxelHashMap,
+    voxel_map_create,
+    voxel_map_delete_box,
+    voxel_map_insert,
+    voxel_map_radius_search,
+    voxel_map_sector_search,
+    voxel_map_stencil_neighbors,
+)
+from icp4dradar_tpu.mapping.voxel_hash import voxel_map_box_search
+
+
+def oracle_downsample(points, voxel_size):
+    """Reference semantics: one point per voxel, nearest to voxel center
+    (ikd_Tree.cpp:422-497)."""
+    coords = np.floor(points / voxel_size).astype(np.int64)
+    center = (coords + 0.5) * voxel_size
+    d2 = ((points - center) ** 2).sum(-1)
+    best = {}
+    for i, c in enumerate(map(tuple, coords)):
+        if c not in best or d2[i] < d2[best[c]]:
+            best[c] = i
+    return {c: points[i] for c, i in best.items()}
+
+
+class TestInsert:
+    def test_downsample_semantics(self, rng):
+        pts = rng.uniform(-10, 10, size=(500, 3)).astype(np.float32)
+        m = voxel_map_create(capacity=1 << 12, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        oracle = oracle_downsample(pts, 0.5)
+        assert int(m.num_voxels) == len(oracle)
+        # every stored point equals the oracle's choice for its voxel
+        occ = np.asarray(m.occupied) > 0.5
+        keys = np.asarray(m.keys)[occ]
+        stored = np.asarray(m.points)[occ]
+        for k, p in zip(map(tuple, keys), stored):
+            np.testing.assert_allclose(p, oracle[k], atol=1e-6)
+
+    def test_incremental_keeps_nearest_center(self):
+        m = voxel_map_create(capacity=1 << 8, voxel_size=1.0)
+        # first point far from center of voxel (0,0,0); center = (0.5,0.5,0.5)
+        p1 = np.array([[0.05, 0.05, 0.05]], np.float32)
+        p2 = np.array([[0.45, 0.55, 0.5]], np.float32)  # nearer center
+        m = voxel_map_insert(m, jnp.asarray(p1))
+        m = voxel_map_insert(m, jnp.asarray(p2))
+        assert int(m.num_voxels) == 1
+        occ = np.asarray(m.occupied) > 0.5
+        np.testing.assert_allclose(np.asarray(m.points)[occ][0], p2[0], atol=1e-6)
+        # inserting a worse point leaves the better one in place
+        m = voxel_map_insert(m, jnp.asarray(p1))
+        occ = np.asarray(m.occupied) > 0.5
+        np.testing.assert_allclose(np.asarray(m.points)[occ][0], p2[0], atol=1e-6)
+
+    def test_masked_points_ignored(self, rng):
+        pts = rng.uniform(-5, 5, (64, 3)).astype(np.float32)
+        mask = np.zeros(64, np.float32)
+        mask[:10] = 1.0
+        m = voxel_map_create(capacity=1 << 10, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(pts), jnp.asarray(mask))
+        oracle = oracle_downsample(pts[:10], 0.5)
+        assert int(m.num_voxels) == len(oracle)
+
+    def test_hash_collision_chains(self, rng):
+        # tiny capacity forces heavy probing; all distinct voxels must survive
+        pts = (np.arange(48)[:, None] * np.array([1.0, 0.0, 0.0])).astype(np.float32)
+        m = voxel_map_create(capacity=64, voxel_size=0.5, max_probes=32)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        assert int(m.num_voxels) == 48
+
+    def test_jit_insert(self, rng):
+        pts = rng.uniform(-10, 10, (256, 3)).astype(np.float32)
+        m = voxel_map_create(capacity=1 << 10, voxel_size=0.5)
+        f = jax.jit(voxel_map_insert)
+        m2 = f(m, jnp.asarray(pts))
+        m3 = voxel_map_insert(m, jnp.asarray(pts))
+        assert int(m2.num_voxels) == int(m3.num_voxels)
+
+
+class TestQueries:
+    def setup_map(self, rng, n=800):
+        pts = rng.uniform(-40, 40, (n, 3)).astype(np.float32)
+        m = voxel_map_create(capacity=1 << 13, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        occ = np.asarray(m.occupied) > 0.5
+        stored = np.asarray(m.points)[occ]
+        return m, stored
+
+    def test_radius_search_oracle(self, rng):
+        m, stored = self.setup_map(rng)
+        center = np.array([5.0, -3.0, 1.0], np.float32)
+        out, mask, count = voxel_map_radius_search(m, jnp.asarray(center), 15.0, 1024)
+        got = np.asarray(out)[np.asarray(mask) > 0.5]
+        want = stored[np.linalg.norm(stored - center, axis=-1) < 15.0]
+        assert got.shape[0] == want.shape[0] == int(count)
+        # same point sets
+        got_s = set(map(tuple, np.round(got, 4)))
+        want_s = set(map(tuple, np.round(want, 4)))
+        assert got_s == want_s
+
+    def test_box_search_oracle(self, rng):
+        m, stored = self.setup_map(rng)
+        lo = np.array([-10, -10, -10], np.float32)
+        hi = np.array([10, 10, 10], np.float32)
+        out, mask, count = voxel_map_box_search(m, jnp.asarray(lo), jnp.asarray(hi), 2048)
+        want = stored[((stored >= lo) & (stored <= hi)).all(-1)]
+        assert int(count) == want.shape[0]
+
+    def test_sector_search_oracle(self, rng):
+        m, stored = self.setup_map(rng)
+        center = np.zeros(3, np.float32)
+        heading, radius, half = 30.0, 25.0, 60.0
+        out, mask, count = voxel_map_sector_search(
+            m, jnp.asarray(center), radius, jnp.asarray(heading), half, 2048
+        )
+        delta = stored - center
+        d = np.linalg.norm(delta, axis=-1)
+        bearing = np.degrees(np.arctan2(delta[:, 1], delta[:, 0]))
+        diff = np.abs((bearing - heading + 180) % 360 - 180)
+        want = stored[(d < radius) & (diff < half)]
+        assert int(count) == want.shape[0]
+
+    def test_sector_wraps_at_180(self, rng):
+        m = voxel_map_create(capacity=1 << 8, voxel_size=0.5)
+        pts = np.array([[-10.0, 0.2, 0.0], [-10.0, -0.2, 0.0], [10.0, 0.0, 0.0]],
+                       np.float32)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        out, mask, count = voxel_map_sector_search(
+            m, jnp.zeros(3), 20.0, jnp.asarray(179.0), 10.0, 16
+        )
+        assert int(count) == 2  # both near-180 points, wrap-aware
+
+    def test_stencil_neighbors_finds_points(self, rng):
+        m, stored = self.setup_map(rng)
+        q = stored[:50] + rng.normal(0, 0.1, (50, 3)).astype(np.float32)
+        pts, valid = voxel_map_stencil_neighbors(m, jnp.asarray(q), stencil_radius=1)
+        # each query's nearest stored point should be among candidates
+        d_all = np.linalg.norm(stored[None] - q[:, None], axis=-1)
+        nearest = stored[d_all.argmin(1)]
+        got = np.asarray(pts)
+        ok = 0
+        for i in range(50):
+            cand = got[i][np.asarray(valid)[i]]
+            if cand.size and np.min(np.linalg.norm(cand - nearest[i], axis=-1)) < 1e-5:
+                ok += 1
+        assert ok >= 48  # nearest can be outside stencil only for far queries
+
+
+class TestDelete:
+    def test_delete_box_then_revive(self, rng):
+        pts = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
+        m = voxel_map_create(capacity=1 << 10, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        n0 = int(m.num_voxels)
+        lo, hi = jnp.asarray([-5.0, -5, -5]), jnp.asarray([0.0, 5, 5])
+        m = voxel_map_delete_box(m, lo, hi)
+        stored = np.asarray(m.points)[np.asarray(m.occupied) > 0.5]
+        assert (stored[:, 0] > 0).all()
+        assert int(m.num_voxels) < n0
+        # re-insert the same points: deleted region repopulates fully
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        assert int(m.num_voxels) == n0

@@ -1,0 +1,85 @@
+"""Kernel tests: NN correspondence (XLA + Pallas-interpret), kNN, compaction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp4dradar_tpu.ops import (
+    knn,
+    mask_compact,
+    nearest_neighbor_pallas,
+    nearest_neighbor_xla,
+)
+
+
+def brute_force_nn(src, tgt, tgt_mask):
+    d2 = ((src[:, None, :] - tgt[None, :, :]) ** 2).sum(-1)
+    d2 = np.where(tgt_mask[None, :] > 0.5, d2, 1e30)
+    idx = d2.argmin(-1)
+    return idx, d2[np.arange(len(src)), idx]
+
+
+class TestNearestNeighbor:
+    def test_xla_matches_bruteforce(self, rng):
+        src = rng.normal(size=(333, 3)).astype(np.float32) * 10
+        tgt = rng.normal(size=(777, 3)).astype(np.float32) * 10
+        mask = (rng.uniform(size=777) > 0.3).astype(np.float32)
+        idx, d2 = nearest_neighbor_xla(jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask))
+        ref_idx, ref_d2 = brute_force_nn(src, tgt, mask)
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-3, atol=1e-3)
+
+    def test_pallas_interpret_matches_bruteforce(self, rng):
+        src = rng.normal(size=(300, 3)).astype(np.float32) * 5
+        tgt = rng.normal(size=(500, 3)).astype(np.float32) * 5
+        mask = (rng.uniform(size=500) > 0.2).astype(np.float32)
+        idx, d2 = nearest_neighbor_pallas(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+            ts=128, tm=256, interpret=True,
+        )
+        ref_idx, ref_d2 = brute_force_nn(src, tgt, mask)
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-3, atol=1e-3)
+
+    def test_all_masked_targets(self, rng):
+        src = rng.normal(size=(16, 3)).astype(np.float32)
+        tgt = rng.normal(size=(32, 3)).astype(np.float32)
+        mask = np.zeros(32, dtype=np.float32)
+        idx, d2 = nearest_neighbor_xla(jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask))
+        assert (np.asarray(d2) > 1e29).all()  # callers gate on distance
+
+
+class TestKnn:
+    def test_matches_bruteforce_topk(self, rng):
+        src = rng.normal(size=(100, 3)).astype(np.float32)
+        tgt = rng.normal(size=(200, 3)).astype(np.float32)
+        mask = (rng.uniform(size=200) > 0.25).astype(np.float32)
+        idx, d2 = knn(jnp.asarray(src), jnp.asarray(tgt), 5, jnp.asarray(mask))
+        full = ((src[:, None, :] - tgt[None, :, :]) ** 2).sum(-1)
+        full = np.where(mask[None, :] > 0.5, full, 1e30)
+        ref = np.sort(full, axis=-1)[:, :5]
+        np.testing.assert_allclose(np.sort(np.asarray(d2), -1), ref, rtol=1e-3, atol=1e-3)
+
+    def test_self_knn_includes_self(self, rng):
+        pts = rng.normal(size=(64, 3)).astype(np.float32)
+        idx, d2 = knn(jnp.asarray(pts), jnp.asarray(pts), 3)
+        # nearest neighbor of each point in itself is itself (d2 ~ 0)
+        np.testing.assert_allclose(np.min(np.asarray(d2), -1), 0.0, atol=1e-5)
+
+
+class TestCompaction:
+    def test_compacts_valid_front(self, rng):
+        vals = rng.normal(size=(64, 3)).astype(np.float32)
+        mask = (rng.uniform(size=64) > 0.5).astype(np.float32)
+        out, out_mask, count = mask_compact(jnp.asarray(vals), jnp.asarray(mask), 64)
+        n = int(mask.sum())
+        assert int(count) == n
+        np.testing.assert_allclose(np.asarray(out)[:n], vals[mask > 0.5], atol=0)
+        assert np.asarray(out_mask)[:n].all() and not np.asarray(out_mask)[n:].any()
+
+    def test_overflow_drops_tail(self, rng):
+        vals = jnp.arange(10, dtype=jnp.float32)[:, None]
+        mask = jnp.ones(10)
+        out, out_mask, count = mask_compact(vals, mask, 4)
+        assert int(count) == 4
+        np.testing.assert_allclose(np.asarray(out)[:, 0], [0, 1, 2, 3])

@@ -1,0 +1,113 @@
+"""Registration tests: point-to-point ICP and GICP recover known transforms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp4dradar_tpu.config import GicpConfig, IcpConfig
+from icp4dradar_tpu.geom import se3_apply, se3_exp, se3_inverse, se3_log
+from icp4dradar_tpu.registration import (
+    gicp_align,
+    icp_point_to_point,
+    point_covariances,
+)
+
+
+def transform_error(T_est, T_true):
+    return float(jnp.abs(se3_log(se3_inverse(T_est) @ T_true)).max())
+
+
+def make_structured_cloud(rng, n=1500):
+    """Planes + scatter, the kind of scene GICP needs."""
+    n_g = n // 3
+    ground = np.stack([
+        rng.uniform(-30, 30, n_g), rng.uniform(-30, 30, n_g),
+        rng.normal(0, 0.01, n_g),
+    ], -1)
+    wall = np.stack([
+        rng.uniform(-30, 30, n_g), np.full(n_g, 12.0) + rng.normal(0, 0.01, n_g),
+        rng.uniform(0, 6, n_g),
+    ], -1)
+    scatter = rng.uniform(-25, 25, (n - 2 * n_g, 3))
+    return np.concatenate([ground, wall, scatter]).astype(np.float32)
+
+
+class TestIcp:
+    def test_recovers_small_transform(self, rng):
+        tgt = rng.normal(size=(1000, 3)).astype(np.float32) * 15
+        xi = jnp.asarray([0.3, -0.2, 0.1, 0.01, 0.02, 0.03], dtype=jnp.float32)
+        T_true = se3_exp(xi)
+        # src such that T_true maps src onto tgt
+        src = np.asarray(se3_apply(se3_inverse(T_true), jnp.asarray(tgt)))
+        res = icp_point_to_point(
+            jnp.asarray(src), jnp.asarray(tgt),
+            cfg=IcpConfig(max_iterations=30, transformation_epsilon=1e-6),
+        )
+        assert transform_error(res.transform, T_true) < 1e-3
+        assert float(res.fitness) < 1e-4
+        assert bool(res.converged)
+
+    def test_masked_padding_ignored(self, rng):
+        tgt = rng.normal(size=(600, 3)).astype(np.float32) * 10
+        T_true = se3_exp(jnp.asarray([0.2, 0.1, 0.0, 0.0, 0.0, 0.05], dtype=jnp.float32))
+        src_valid = np.asarray(se3_apply(se3_inverse(T_true), jnp.asarray(tgt)))
+        # pad src with garbage, masked out
+        src = np.concatenate([src_valid, np.full((100, 3), 500.0, np.float32)])
+        src_mask = np.concatenate([np.ones(600), np.zeros(100)]).astype(np.float32)
+        tgt_p = np.concatenate([tgt, np.full((50, 3), -700.0, np.float32)])
+        tgt_mask = np.concatenate([np.ones(600), np.zeros(50)]).astype(np.float32)
+        res = icp_point_to_point(
+            jnp.asarray(src), jnp.asarray(tgt_p),
+            jnp.asarray(src_mask), jnp.asarray(tgt_mask),
+            cfg=IcpConfig(max_iterations=30, transformation_epsilon=1e-6),
+        )
+        assert transform_error(res.transform, T_true) < 1e-3
+
+    def test_respects_iteration_cap(self, rng):
+        tgt = rng.normal(size=(200, 3)).astype(np.float32)
+        src = rng.normal(size=(200, 3)).astype(np.float32)
+        res = icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt),
+                                 cfg=IcpConfig(max_iterations=3))
+        assert int(res.iterations) <= 3
+
+    def test_jittable(self, rng):
+        tgt = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32))
+        src = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32))
+        f = jax.jit(lambda a, b: icp_point_to_point(a, b).transform)
+        out = f(src, tgt)
+        assert out.shape == (4, 4)
+
+
+class TestGicp:
+    def test_covariances_plane_regularized(self, rng):
+        # points on z=0 plane -> smallest eigen-direction is z
+        pts = np.stack([
+            rng.uniform(-5, 5, 300), rng.uniform(-5, 5, 300), np.zeros(300)
+        ], -1).astype(np.float32)
+        cov = point_covariances(jnp.asarray(pts), jnp.ones(300))
+        evals, evecs = np.linalg.eigh(np.asarray(cov))
+        # regularized spectrum is (eps, 1, 1)
+        np.testing.assert_allclose(evals[:, 1:], 1.0, atol=1e-4)
+        np.testing.assert_allclose(evals[:, 0], 1e-3, atol=1e-4)
+        # normal direction ~ z
+        nrm = np.abs(evecs[:, :, 0])
+        np.testing.assert_allclose(nrm[:, 2], 1.0, atol=1e-3)
+
+    def test_recovers_transform_structured(self, rng):
+        tgt = make_structured_cloud(rng)
+        T_true = se3_exp(jnp.asarray([0.4, -0.3, 0.05, 0.01, -0.02, 0.04],
+                                     dtype=jnp.float32))
+        src = np.array(se3_apply(se3_inverse(T_true), jnp.asarray(tgt)))
+        src += rng.normal(0, 0.01, src.shape).astype(np.float32)
+        res = gicp_align(
+            jnp.asarray(src), jnp.asarray(tgt),
+            cfg=GicpConfig(max_iterations=30),
+        )
+        assert transform_error(res.transform, T_true) < 0.02
+        assert bool(res.converged)
+
+    def test_fitness_low_after_alignment(self, rng):
+        tgt = make_structured_cloud(rng, n=900)
+        src = tgt + rng.normal(0, 0.005, tgt.shape).astype(np.float32)
+        res = gicp_align(jnp.asarray(src), jnp.asarray(tgt))
+        assert float(res.fitness) < 1e-3
