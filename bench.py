@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark: scan-to-scan radar odometry throughput on one chip.
+
+Runs the full icp4radar-equivalent pipeline (Doppler RANSAC + static split +
+LSQ ego velocity + 10-iteration point-to-point ICP + pose composition) over a
+synthetic 2048-point/scan sequence, entirely inside one lax.scan dispatch.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N}
+
+Baseline anchor: the reference publishes no throughput numbers (BASELINE.md);
+its frame loop is capped at 100 Hz (`ros::Rate r(100.0)`,
+src/iterative_closest_point.cpp:258), so vs_baseline = value / 100.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+FRAMES = 256
+MAX_POINTS = 2048
+BASELINE_SCANS_PER_SEC = 100.0  # reference frame-loop rate cap
+
+
+def main() -> int:
+    import jax
+
+    from icp4dradar_tpu.config import PipelineConfig
+    from icp4dradar_tpu.io import SyntheticSequence
+    from icp4dradar_tpu.io.scan import stack_scans
+    from icp4dradar_tpu.models import run_scan_to_scan
+    from icp4dradar_tpu.utils import ate_rmse
+
+    print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
+          file=sys.stderr)
+
+    seq = SyntheticSequence(
+        num_frames=FRAMES, max_points=MAX_POINTS, num_landmarks=5000,
+        world_extent=120.0, max_range=80.0, dynamic_fraction=0.1,
+        speed=1.0, turn_rate=0.02, seed=0,
+    )
+    t0 = time.time()
+    scans = stack_scans([seq.scan(k) for k in range(FRAMES)])
+    scans = jax.device_put(scans)
+    jax.block_until_ready(scans.xyz)
+    print(f"data gen: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    cfg = PipelineConfig()
+    run = jax.jit(
+        lambda s: run_scan_to_scan(s, cfg, use_doppler_prior=True).world_T
+    )
+
+    t0 = time.time()
+    poses = run(scans)
+    jax.block_until_ready(poses)
+    print(f"compile + first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # steady-state timing (best of 3)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        poses = run(scans)
+        jax.block_until_ready(poses)
+        times.append(time.time() - t0)
+    dt = min(times)
+    scans_per_sec = FRAMES / dt
+
+    ate = ate_rmse(np.asarray(poses)[:, :3, 3], seq.poses[:, :3, 3],
+                   align=False)
+    print(f"steady-state: {dt*1e3:.1f} ms for {FRAMES} frames "
+          f"({scans_per_sec:.1f} scans/s), sanity ATE {ate:.3f} m",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "scan_to_scan_odometry_scans_per_sec",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -24,4 +24,14 @@ Subpackages
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry pipelines are precision-critical: TPU's default matmul precision
+# truncates f32 operands to bf16 on the MXU, which at radar ranges (~80 m)
+# injects meter-scale errors into NN distance cross-terms and compounds
+# through per-frame pose composition (measured: ATE 0.3 m -> 30 m over 256
+# frames). Force full-f32 matmuls framework-wide; the hot kernels are
+# bandwidth-bound at radar scales, so the MXU multi-pass cost is minor.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from icp4dradar_tpu.config import PipelineConfig  # noqa: F401

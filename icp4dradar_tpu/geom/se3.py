@@ -63,9 +63,10 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     """Twist (...,6) [v, w] -> (...,4,4). v = translational, w = rotational."""
     v = xi[..., :3]
     w = xi[..., 3:]
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    theta2 = theta * theta
-    small = theta < 1e-5
+    # guarded norm: finite JVP at xi=0 (see so3_exp)
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    small = theta2 < 1e-8
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
     R = so3_exp(w)
     K = so3_hat(w)
     # Left Jacobian V = I + (1-cos)/t^2 K + (t - sin t)/t^3 K^2
@@ -84,12 +85,13 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     R = se3_rotation(T)
     t = se3_translation(T)
     w = so3_log(R)
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    theta2 = theta * theta
+    # guarded norm: finite JVP at the identity (see so3_exp)
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)
     # Wide Taylor window: for theta < 1e-2 the closed form catastrophically
     # cancels in f32 (1 - (t/2)cot(t/2) ~ t^2/12 underflows), while the
     # Taylor error at 1e-2 is ~1e-13.
-    small = theta < 1e-2
+    small = theta2 < 1e-4
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
     K = so3_hat(w)
     # V^{-1} = I - K/2 + cot_term * K^2,
     # cot_term = (1 - (t/2) cot(t/2)) / t^2  ->  1/12 + t^2/720 near 0.

@@ -133,12 +133,17 @@ def so3_vee(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues: (...,3) axis-angle -> (...,3,3), Taylor-safe at 0."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    theta2 = theta * theta
-    small = theta < 1e-5
-    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    """Rodrigues: (...,3) axis-angle -> (...,3,3).
+
+    Differentiable at w=0: the Taylor branch is a polynomial in theta^2
+    (no sqrt), and the sqrt in the generic branch is guarded so jacfwd/jvp
+    at exactly zero stays finite (norm() alone has an infinite JVP at 0 —
+    that NaN would otherwise poison the pose-graph autodiff Jacobians).
+    """
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    small = theta2 < 1e-8
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0,
                   (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
     K = so3_hat(w)
@@ -162,7 +167,10 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
          R[..., 1, 0] - R[..., 0, 1]],
         axis=-1,
     )  # = 2 sin(theta) * axis
-    sin_theta = 0.5 * jnp.linalg.norm(skew, axis=-1)
+    # guarded norm: finite JVP at the identity (see so3_exp)
+    s2 = jnp.sum(skew * skew, axis=-1)
+    tiny = s2 < 1e-16
+    sin_theta = jnp.where(tiny, 0.0, 0.5 * jnp.sqrt(jnp.where(tiny, 1.0, s2)))
     theta = jnp.arctan2(sin_theta, cos_theta)
 
     small = sin_theta < 1e-6

@@ -1,0 +1,219 @@
+"""Batched SE(3) pose-graph Gauss-Newton.
+
+What the reference links Ceres for but never runs (CMakeLists.txt:49,
+include/radarFactor.hpp — SURVEY.md §3.5): a keyframe graph over odometry
+chains + loop closures, solved here as dense-block normal equations on the
+MXU.
+
+Structure: K keyframe poses, unknowns are left-multiplied twists
+xi in R^{K x 6} (T_k <- exp(xi_k) T_k). Factors:
+
+- RelPoseFactors: SE(3) between-factors (i, j, T_meas, weight)
+- PointFactors: point-to-point world factors binding one keyframe each
+  (k, p_body, q_world, weight) — the LidarDistanceFactor form that
+  scan-to-map correspondences produce.
+
+Per-factor Jacobians come from jax.jacfwd (the autodiff mirror of Ceres'
+AutoDiffCostFunction), vmapped over all factors at once; blocks scatter-add
+into the dense (6K, 6K) H. Gauge freedom is pinned with a prior on pose 0.
+Huber robust weighting downweights outlier loop closures.
+
+The normal-equation accumulation is exposed separately
+(`pose_graph_normal_equations`) so the distributed solver
+(parallel/distributed_gn.py) can psum partial (H, g) across factor shards —
+the Schur/psum pattern from SURVEY.md §7 step 7.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from icp4dradar_tpu.config import PoseGraphConfig
+from icp4dradar_tpu.geom.se3 import se3_exp
+from icp4dradar_tpu.graph.factors import (
+    point_to_point_residual,
+    relative_pose_residual,
+)
+
+
+@struct.dataclass
+class RelPoseFactors:
+    """Between-factors (F,): i -> j measured transforms."""
+
+    i: jnp.ndarray        # (F,) int32
+    j: jnp.ndarray        # (F,) int32
+    T_meas: jnp.ndarray   # (F,4,4)
+    weight: jnp.ndarray   # (F,) scalar information weight
+    mask: jnp.ndarray     # (F,) {0,1}
+
+    @classmethod
+    def build(cls, i, j, T_meas, weight=None, mask=None):
+        i = jnp.asarray(i, jnp.int32)
+        F = i.shape[0]
+        if weight is None:
+            weight = jnp.ones(F, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(F, jnp.float32)
+        return cls(i=i, j=jnp.asarray(j, jnp.int32),
+                   T_meas=jnp.asarray(T_meas), weight=jnp.asarray(weight),
+                   mask=jnp.asarray(mask))
+
+
+@struct.dataclass
+class PointFactors:
+    """World point-to-point factors (P,): body point p under pose k should
+    land on world point q (reference LidarDistanceFactor semantics)."""
+
+    k: jnp.ndarray        # (P,) int32 keyframe index
+    p_body: jnp.ndarray   # (P,3)
+    q_world: jnp.ndarray  # (P,3)
+    weight: jnp.ndarray   # (P,)
+    mask: jnp.ndarray     # (P,)
+
+    @classmethod
+    def build(cls, k, p_body, q_world, weight=None, mask=None):
+        k = jnp.asarray(k, jnp.int32)
+        P = k.shape[0]
+        if weight is None:
+            weight = jnp.ones(P, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(P, jnp.float32)
+        return cls(k=k, p_body=jnp.asarray(p_body),
+                   q_world=jnp.asarray(q_world), weight=jnp.asarray(weight),
+                   mask=jnp.asarray(mask))
+
+
+@struct.dataclass
+class PoseGraph:
+    poses: jnp.ndarray               # (K,4,4)
+    rel: Optional[RelPoseFactors] = None
+    points: Optional[PointFactors] = None
+
+
+def _huber_weight(r2: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weight for the Huber loss on residual norm sqrt(r2)."""
+    r = jnp.sqrt(jnp.maximum(r2, 1e-20))
+    return jnp.where(r <= delta, 1.0, delta / r)
+
+
+def pose_graph_normal_equations(
+    graph: PoseGraph,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Assemble (H (6K,6K), g (6K,), cost ()) at the current linearization.
+
+    GN normal equations for r(xi) ~ r0 + J xi: H = J^T W J, g = J^T W r0;
+    the solver applies xi = -H^-1 g.
+    """
+    K = graph.poses.shape[0]
+    H = jnp.zeros((6 * K, 6 * K), dtype=graph.poses.dtype)
+    g = jnp.zeros((6 * K,), dtype=graph.poses.dtype)
+    cost = jnp.zeros((), dtype=graph.poses.dtype)
+
+    if graph.rel is not None:
+        rel = graph.rel
+        Ti = graph.poses[rel.i]
+        Tj = graph.poses[rel.j]
+
+        def res_fn(xi_i, xi_j, Ti, Tj, Tm):
+            return relative_pose_residual(se3_exp(xi_i) @ Ti, se3_exp(xi_j) @ Tj, Tm)
+
+        zeros = jnp.zeros((rel.i.shape[0], 6), dtype=graph.poses.dtype)
+        r0 = jax.vmap(res_fn)(zeros, zeros, Ti, Tj, rel.T_meas)       # (F,6)
+        Ji = jax.vmap(jax.jacfwd(res_fn, argnums=0))(zeros, zeros, Ti, Tj, rel.T_meas)
+        Jj = jax.vmap(jax.jacfwd(res_fn, argnums=1))(zeros, zeros, Ti, Tj, rel.T_meas)
+        r2 = jnp.sum(r0 * r0, axis=-1)
+        w = rel.weight * rel.mask * _huber_weight(r2, cfg.huber_delta)  # (F,)
+        cost += jnp.sum(w * r2)
+
+        JiW = Ji * w[:, None, None]
+        JjW = Jj * w[:, None, None]
+        Hii = jnp.einsum("fri,frj->fij", JiW, Ji)
+        Hij = jnp.einsum("fri,frj->fij", JiW, Jj)
+        Hjj = jnp.einsum("fri,frj->fij", JjW, Jj)
+        gi = jnp.einsum("fri,fr->fi", JiW, r0)
+        gj = jnp.einsum("fri,fr->fi", JjW, r0)
+
+        Hb = H.reshape(K, 6, K, 6)
+        Hb = Hb.at[rel.i, :, rel.i, :].add(Hii)
+        Hb = Hb.at[rel.i, :, rel.j, :].add(Hij)
+        Hb = Hb.at[rel.j, :, rel.i, :].add(jnp.swapaxes(Hij, -1, -2))
+        Hb = Hb.at[rel.j, :, rel.j, :].add(Hjj)
+        H = Hb.reshape(6 * K, 6 * K)
+        gb = g.reshape(K, 6)
+        gb = gb.at[rel.i].add(gi)
+        gb = gb.at[rel.j].add(gj)
+        g = gb.reshape(-1)
+
+    if graph.points is not None:
+        pf = graph.points
+        Tk = graph.poses[pf.k]
+
+        def pres_fn(xi, Tk, p, q):
+            return point_to_point_residual(se3_exp(xi) @ Tk, p, q)
+
+        zeros = jnp.zeros((pf.k.shape[0], 6), dtype=graph.poses.dtype)
+        r0 = jax.vmap(pres_fn)(zeros, Tk, pf.p_body, pf.q_world)      # (P,3)
+        J = jax.vmap(jax.jacfwd(pres_fn, argnums=0))(zeros, Tk, pf.p_body, pf.q_world)
+        r2 = jnp.sum(r0 * r0, axis=-1)
+        w = pf.weight * pf.mask * _huber_weight(r2, cfg.huber_delta)
+        cost += jnp.sum(w * r2)
+        JW = J * w[:, None, None]
+        Hkk = jnp.einsum("pri,prj->pij", JW, J)
+        gk = jnp.einsum("pri,pr->pi", JW, r0)
+        Hb = H.reshape(K, 6, K, 6)
+        Hb = Hb.at[pf.k, :, pf.k, :].add(Hkk)
+        H = Hb.reshape(6 * K, 6 * K)
+        gb = g.reshape(K, 6).at[pf.k].add(gk)
+        g = gb.reshape(-1)
+
+    return H, g, cost
+
+
+def solve_pose_graph_step(
+    graph: PoseGraph,
+    H: jnp.ndarray,
+    g: jnp.ndarray,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+    gauge_weight: float = 1e6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the damped system with pose-0 gauge prior; return (new_poses,
+    |dx|). Split from assembly so the distributed path can psum (H, g)."""
+    K = graph.poses.shape[0]
+    diag = jnp.arange(6 * K)
+    H = H.at[diag, diag].add(cfg.damping)
+    H = H.at[diag[:6], diag[:6]].add(gauge_weight)   # pin pose 0
+    L = jnp.linalg.cholesky(H)
+    y = jax.scipy.linalg.solve_triangular(L, (-g)[:, None], lower=True)
+    xi = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)[:, 0]
+    xi = xi.reshape(K, 6)
+    new_poses = jax.vmap(lambda x, T: se3_exp(x) @ T)(xi, graph.poses)
+    return new_poses, jnp.sum(jnp.abs(xi))
+
+
+def optimize_pose_graph(
+    graph: PoseGraph,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+) -> Tuple[PoseGraph, jnp.ndarray]:
+    """Run GN to convergence (fixed cap + epsilon). Returns (graph, cost)."""
+
+    def cond(state):
+        _, it, delta = state
+        return (it < cfg.max_iterations) & (delta > cfg.convergence_eps)
+
+    def body(state):
+        poses, it, _ = state
+        gr = graph.replace(poses=poses)
+        H, g, _ = pose_graph_normal_equations(gr, cfg)
+        new_poses, delta = solve_pose_graph_step(gr, H, g, cfg)
+        return (new_poses, it + 1, delta)
+
+    init = (graph.poses, jnp.int32(0), jnp.asarray(jnp.inf, graph.poses.dtype))
+    poses, _, _ = jax.lax.while_loop(cond, body, init)
+    out = graph.replace(poses=poses)
+    _, _, cost = pose_graph_normal_equations(out, cfg)
+    return out, cost

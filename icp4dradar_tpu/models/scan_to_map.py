@@ -1,0 +1,156 @@
+"""Scan-to-map GICP odometry against the voxel-hash map — the
+`radar_odometry` pipeline, TPU-native.
+
+Reference main_task (src/radar_odometry.cpp:311-434): REVE ego-velocity
+estimate extracts the inlier scan (:328-342); first scan builds the map
+(:344-350); each tracked frame transforms the scan to the world frame,
+inserts it (:382-390), sector-searches an 80 m +-60 deg submap around the
+current position (:392-396), FastGICP-aligns scan vs submap (:399-406), and
+left-composes the correction `currOdom = T_gicp * currOdom` (:411-412).
+
+Deliberate change (SURVEY.md §7 "what we do NOT carry over"): the reference
+uses the lidar GT pose as the mapping pose (:367-377). Here the pipeline's
+own pose tracks the map by default, and registration runs BEFORE insertion
+so drift is corrected before it contaminates the map; set
+`insert_before_registration=True` (+ feed `gt_pose`) for reference-parity
+behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from icp4dradar_tpu.config import PipelineConfig
+from icp4dradar_tpu.geom import se3_apply, se3_identity
+from icp4dradar_tpu.geom.so3 import matrix_to_rpy
+from icp4dradar_tpu.io.scan import RadarScan
+from icp4dradar_tpu.mapping import (
+    VoxelHashMap,
+    voxel_map_create,
+    voxel_map_insert,
+    voxel_map_sector_search,
+)
+from icp4dradar_tpu.preprocess.reve import estimate_ego_velocity
+from icp4dradar_tpu.registration.gicp import gicp_align
+
+
+@struct.dataclass
+class ScanToMapState:
+    world_T: jnp.ndarray        # (4,4) current odometry (ref currOdom)
+    vmap: VoxelHashMap
+
+
+@struct.dataclass
+class ScanToMapOutput:
+    world_T: jnp.ndarray        # (4,4) pose after this frame
+    correction: jnp.ndarray     # (4,4) GICP correction transform
+    velocity: jnp.ndarray       # (3,) REVE ego velocity
+    velocity_sigma: jnp.ndarray # (3,)
+    velocity_valid: jnp.ndarray # () bool
+    fitness: jnp.ndarray        # () GICP fitness
+    num_inliers: jnp.ndarray    # () inlier point count
+    submap_points: jnp.ndarray  # () sector submap size
+
+
+def scan_to_map_init(cfg: PipelineConfig = PipelineConfig(), dtype=jnp.float32) -> ScanToMapState:
+    vm = voxel_map_create(
+        capacity=cfg.voxel_map.capacity,
+        voxel_size=cfg.voxel_map.voxel_size,
+        max_probes=cfg.voxel_map.max_probes,
+        dtype=dtype,
+    )
+    return ScanToMapState(world_T=se3_identity(dtype), vmap=vm)
+
+
+def scan_to_map_step(
+    state: ScanToMapState,
+    scan: RadarScan,
+    key: jax.Array,
+    cfg: PipelineConfig = PipelineConfig(),
+    gt_pose: Optional[jnp.ndarray] = None,
+    insert_before_registration: bool = False,
+    use_doppler_prior: bool = False,
+) -> Tuple[ScanToMapState, ScanToMapOutput]:
+    """One tracked frame. Empty map (first frame) degenerates to an identity
+    correction and seeds the map — no special-casing needed."""
+    vmcfg = cfg.voxel_map
+    est = estimate_ego_velocity(scan, key, cfg.reve)
+    inlier_mask = est.inlier_mask
+
+    pose = state.world_T if gt_pose is None else gt_pose
+    if use_doppler_prior and gt_pose is None:
+        # advance the pose by one frame of Doppler ego motion before
+        # registration (velocity is in the body frame) — but only once the
+        # map exists: the first scan must seed the map at the initial pose
+        has_map = state.vmap.num_voxels > 0
+        delta_t = pose[:3, :3] @ est.velocity
+        pose = pose.at[:3, 3].add(
+            jnp.where(est.valid & has_map, delta_t, jnp.zeros_like(delta_t))
+        )
+
+    world_pts = se3_apply(pose, scan.xyz)
+    vmap = state.vmap
+    if insert_before_registration:
+        vmap = voxel_map_insert(vmap, world_pts, inlier_mask, scan.intensity)
+
+    heading = matrix_to_rpy(pose[:3, :3])[2]
+    submap, submask, sub_n = voxel_map_sector_search(
+        vmap, pose[:3, 3], vmcfg.sector_radius, heading,
+        vmcfg.sector_half_angle_deg, vmcfg.submap_max_points,
+    )
+    g = gicp_align(world_pts, submap, inlier_mask, submask, cfg=cfg.gicp)
+    new_T = g.transform @ pose                  # left-compose (ref :412)
+
+    if not insert_before_registration:
+        corrected = se3_apply(new_T, scan.xyz)
+        vmap = voxel_map_insert(vmap, corrected, inlier_mask, scan.intensity)
+
+    new_state = ScanToMapState(world_T=new_T, vmap=vmap)
+    out = ScanToMapOutput(
+        world_T=new_T,
+        correction=g.transform,
+        velocity=est.velocity,
+        velocity_sigma=est.sigma,
+        velocity_valid=est.valid,
+        fitness=g.fitness,
+        num_inliers=jnp.sum(inlier_mask),
+        submap_points=sub_n,
+    )
+    return new_state, out
+
+
+def run_scan_to_map(
+    scans: RadarScan,
+    cfg: PipelineConfig = PipelineConfig(),
+    key: Optional[jax.Array] = None,
+    gt_poses: Optional[jnp.ndarray] = None,
+    insert_before_registration: bool = False,
+    use_doppler_prior: bool = True,
+) -> Tuple[ScanToMapState, ScanToMapOutput]:
+    """lax.scan the tracked-frame step over a stacked sequence (F, ...) in
+    one device call. Returns (final state incl. the built map, stacked
+    per-frame outputs)."""
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    F = scans.xyz.shape[0]
+    keys = jax.random.split(key, F)
+
+    def step(carry, inp):
+        if gt_poses is None:
+            scan, k = inp
+            gt = None
+        else:
+            scan, k, gt = inp
+        return scan_to_map_step(
+            carry, scan, k, cfg, gt_pose=gt,
+            insert_before_registration=insert_before_registration,
+            use_doppler_prior=use_doppler_prior,
+        )
+
+    inputs = (scans, keys) if gt_poses is None else (scans, keys, gt_poses)
+    state, outs = jax.lax.scan(step, scan_to_map_init(cfg, scans.xyz.dtype), inputs)
+    return state, outs

@@ -1,0 +1,137 @@
+"""Scan-to-scan ICP odometry — the `icp4radar` pipeline, TPU-native.
+
+Reference main loop (src/iterative_closest_point.cpp:263-721): read frame k
+and k-1, Doppler-RANSAC fit + static/dynamic split + LSQ ego velocity on
+both, point-to-point ICP current->last, right-compose pose
+`currOdom = currOdom * T_icp` (:552), per-frame velocity/transform records.
+
+Here the whole per-frame step is one jit region, and `run_scan_to_scan`
+lax.scans it over a preloaded stacked sequence — the entire trajectory runs
+in a single device dispatch (first-class for TPU: no per-frame host
+round-trips; SURVEY.md §7 step 3).
+
+Extensions beyond parity (all config-gated, off = reference behavior):
+- `use_doppler_prior`: seed ICP with the Doppler ego-velocity translation.
+- `use_static_points_only`: register on static points (ref USE_STATIC_POINTS
+  flag, :29).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from icp4dradar_tpu.config import PipelineConfig
+from icp4dradar_tpu.geom import se3_from_rt, se3_identity
+from icp4dradar_tpu.io.scan import RadarScan
+from icp4dradar_tpu.preprocess.doppler import (
+    fit_sine_ransac,
+    lsq_ego_velocity,
+    static_dynamic_split,
+)
+from icp4dradar_tpu.registration.icp import icp_point_to_point
+
+
+@struct.dataclass
+class ScanToScanState:
+    world_T: jnp.ndarray     # (4,4) accumulated odometry (ref currOdom/Rtrans,t)
+    frame: jnp.ndarray       # () int32
+
+
+@struct.dataclass
+class ScanToScanOutput:
+    """Per-frame record (ref output_result.csv row + velocity/icp dumps)."""
+
+    icp_transform: jnp.ndarray   # (4,4) frame-to-frame
+    world_T: jnp.ndarray         # (4,4) pose after this frame
+    velocity: jnp.ndarray        # (3,) LSQ ego velocity
+    fitness: jnp.ndarray         # () ICP fitness score
+    sine_A: jnp.ndarray          # () Doppler model amplitude
+    sine_b: jnp.ndarray          # () Doppler model phase
+    num_static: jnp.ndarray      # () static point count
+    converged: jnp.ndarray       # () bool
+
+
+def scan_to_scan_init(dtype=jnp.float32) -> ScanToScanState:
+    return ScanToScanState(world_T=se3_identity(dtype), frame=jnp.int32(0))
+
+
+def scan_to_scan_step(
+    state: ScanToScanState,
+    scan_curr: RadarScan,
+    scan_prev: RadarScan,
+    key: jax.Array,
+    cfg: PipelineConfig = PipelineConfig(),
+    use_doppler_prior: bool = False,
+    use_static_points_only: bool = False,
+) -> Tuple[ScanToScanState, ScanToScanOutput]:
+    """One odometry step: preprocess + ICP(current -> last) + pose compose."""
+    k1, k2 = jax.random.split(key)
+    fit_c = fit_sine_ransac(scan_curr, k1, cfg.doppler)
+    static_c, _ = static_dynamic_split(scan_curr, fit_c, cfg.doppler)
+    velocity, _ = lsq_ego_velocity(scan_curr, static_c)
+    fit_p = fit_sine_ransac(scan_prev, k2, cfg.doppler)
+    static_p, _ = static_dynamic_split(scan_prev, fit_p, cfg.doppler)
+
+    src_mask = static_c if use_static_points_only else scan_curr.mask
+    tgt_mask = static_p if use_static_points_only else scan_prev.mask
+
+    if use_doppler_prior:
+        # one frame of ego motion expressed in the previous body frame
+        init_T = se3_from_rt(jnp.eye(3, dtype=velocity.dtype), velocity)
+    else:
+        init_T = se3_identity(velocity.dtype)
+
+    res = icp_point_to_point(
+        scan_curr.xyz, scan_prev.xyz, src_mask, tgt_mask,
+        init_transform=init_T, cfg=cfg.icp,
+    )
+    world_T = state.world_T @ res.transform     # right-compose (ref :552)
+    new_state = ScanToScanState(world_T=world_T, frame=state.frame + 1)
+    out = ScanToScanOutput(
+        icp_transform=res.transform,
+        world_T=world_T,
+        velocity=velocity,
+        fitness=res.fitness,
+        sine_A=fit_c.A,
+        sine_b=fit_c.b,
+        num_static=jnp.sum(static_c),
+        converged=res.converged,
+    )
+    return new_state, out
+
+
+def run_scan_to_scan(
+    scans: RadarScan,
+    cfg: PipelineConfig = PipelineConfig(),
+    key: Optional[jax.Array] = None,
+    use_doppler_prior: bool = False,
+    use_static_points_only: bool = False,
+) -> ScanToScanOutput:
+    """Run the full sequence in ONE device call.
+
+    `scans` is a stacked RadarScan with leading frame axis (F, ...). Frame 0
+    pairs with itself (identity transform — ref behavior for order==0,
+    src/iterative_closest_point.cpp:306-310). Returns stacked per-frame
+    outputs (F, ...).
+    """
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    F = scans.xyz.shape[0]
+    prev = jax.tree.map(lambda x: jnp.concatenate([x[:1], x[:-1]], 0), scans)
+    keys = jax.random.split(key, F)
+
+    def step(carry, inp):
+        scan_c, scan_p, k = inp
+        return scan_to_scan_step(
+            carry, scan_c, scan_p, k, cfg,
+            use_doppler_prior=use_doppler_prior,
+            use_static_points_only=use_static_points_only,
+        )
+
+    _, outs = jax.lax.scan(step, scan_to_scan_init(scans.xyz.dtype),
+                           (scans, prev, keys))
+    return outs

@@ -1,0 +1,16 @@
+"""Multi-chip scaling over `jax.sharding.Mesh` (SURVEY.md §2 parallelism
+call-out: the reference is single-process C++ — this layer is pure new
+capability): data-parallel scan batches, factor-sharded distributed
+Gauss-Newton with psum collectives, spatially-sharded map queries."""
+
+from icp4dradar_tpu.parallel.mesh import make_mesh, device_count  # noqa: F401
+from icp4dradar_tpu.parallel.distributed_gn import (  # noqa: F401
+    distributed_normal_equations,
+    distributed_optimize_pose_graph,
+    pad_factors_for_mesh,
+)
+from icp4dradar_tpu.parallel.batch import (  # noqa: F401
+    shard_scan_batch,
+    batched_preprocess,
+    batched_icp_pairs,
+)

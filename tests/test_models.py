@@ -1,0 +1,127 @@
+"""Golden-trajectory pipeline tests on synthetic sequences (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp4dradar_tpu.config import PipelineConfig
+from icp4dradar_tpu.io import SyntheticSequence
+from icp4dradar_tpu.io.scan import stack_scans
+from icp4dradar_tpu.models import (
+    SubmapAccumulator,
+    run_scan_to_map,
+    run_scan_to_scan,
+)
+from icp4dradar_tpu.utils import ate_rmse
+
+
+def small_cfg(**over):
+    cfg = PipelineConfig().override(**{
+        "voxel_map.capacity": 1 << 14,
+        "voxel_map.submap_max_points": 1 << 12,
+        "icp.max_iterations": 15,
+        "gicp.max_iterations": 15,
+        **over,
+    })
+    return cfg
+
+
+def make_seq(frames=12, **kw):
+    defaults = dict(
+        # max_points >= in-range landmark count so consecutive scans observe
+        # the same landmarks (otherwise subsampling noise dominates p2p ICP)
+        num_frames=frames, max_points=2048, num_landmarks=4000,
+        world_extent=80.0, max_range=60.0, dynamic_fraction=0.05,
+        pos_noise=0.01, speed=1.0, turn_rate=0.03,
+    )
+    defaults.update(kw)
+    return SyntheticSequence(**defaults)
+
+
+class TestScanToScan:
+    def test_trajectory_tracks_gt(self):
+        seq = make_seq()
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        outs = run_scan_to_scan(scans, small_cfg(), use_doppler_prior=True)
+        poses = np.asarray(outs.world_T)
+        ate = ate_rmse(poses[:, :3, 3], seq.poses[:, :3, 3], align=False)
+        assert ate < 0.5, ate
+        # velocities track GT ego velocity
+        v_err = [
+            np.linalg.norm(np.asarray(outs.velocity[k]) - seq.ego_velocity(k))
+            for k in range(1, len(seq))
+        ]
+        assert np.median(v_err) < 0.15
+
+    def test_frame0_identity(self):
+        seq = make_seq(frames=3)
+        scans = stack_scans([seq.scan(k) for k in range(3)])
+        outs = run_scan_to_scan(scans, small_cfg())
+        T0 = np.asarray(outs.icp_transform[0])
+        np.testing.assert_allclose(T0, np.eye(4), atol=1e-3)
+
+    def test_jit_caching(self):
+        # second call with same shapes should not retrace (smoke: just runs)
+        seq = make_seq(frames=4)
+        scans = stack_scans([seq.scan(k) for k in range(4)])
+        cfg = small_cfg()
+        f = jax.jit(lambda s: run_scan_to_scan(s, cfg).world_T)
+        a = f(scans)
+        b = f(scans)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestScanToMap:
+    def test_trajectory_tracks_gt(self):
+        seq = make_seq(frames=15)
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        state, outs = run_scan_to_map(scans, small_cfg())
+        poses = np.asarray(outs.world_T)
+        ate = ate_rmse(poses[:, :3, 3], seq.poses[:, :3, 3], align=False)
+        assert ate < 0.5, ate
+        assert int(state.vmap.num_voxels) > 100
+
+    def test_map_grows_then_submap_found(self):
+        seq = make_seq(frames=8)
+        scans = stack_scans([seq.scan(k) for k in range(8)])
+        state, outs = run_scan_to_map(scans, small_cfg())
+        # after the first frame, sector submaps are non-empty
+        assert (np.asarray(outs.submap_points)[2:] > 50).all()
+
+    def test_gt_pose_mode_reference_parity(self):
+        # feeding GT poses (ref GT-as-mapping-pose coupling) keeps corrections tiny
+        seq = make_seq(frames=8)
+        scans = stack_scans([seq.scan(k) for k in range(8)])
+        state, outs = run_scan_to_map(
+            scans, small_cfg(), gt_poses=jnp.asarray(seq.poses),
+            insert_before_registration=True,
+        )
+        corr = np.asarray(outs.correction)
+        drift = np.linalg.norm(corr[:, :3, 3], axis=-1)
+        assert drift.max() < 0.5
+
+
+class TestSubmapAccumulator:
+    def test_emits_every_n(self, rng):
+        acc = SubmapAccumulator(scans_per_submap=5)
+        emitted = []
+        for k in range(12):
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = [k, 0, 0]
+            out = acc.add_frame(T, rng.normal(size=(50, 3)).astype(np.float32))
+            if out is not None:
+                emitted.append((k, out))
+        assert [k for k, _ in emitted] == [4, 9]
+        assert emitted[0][1].shape == (250, 3)
+
+    def test_keyframe_local_frame(self, rng):
+        # single point at the sensor origin each frame; after window closes,
+        # points are expressed relative to the window-opening keyframe
+        acc = SubmapAccumulator(scans_per_submap=2)
+        T1 = np.eye(4, dtype=np.float32); T1[:3, 3] = [10, 0, 0]
+        T2 = np.eye(4, dtype=np.float32); T2[:3, 3] = [20, 0, 0]
+        out = None
+        for T in (T1, T2):
+            out = acc.add_frame(T, np.zeros((1, 3), np.float32))
+        # keyframe at window open is identity -> world == local
+        np.testing.assert_allclose(out, [[10, 0, 0], [20, 0, 0]], atol=1e-6)

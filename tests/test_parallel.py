@@ -1,0 +1,99 @@
+"""Distributed tests on the 8-virtual-device CPU mesh: sharded solvers must
+equal their single-device counterparts (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icp4dradar_tpu.config import PipelineConfig, PoseGraphConfig
+from icp4dradar_tpu.graph import PoseGraph, RelPoseFactors, PointFactors
+from icp4dradar_tpu.graph.gauss_newton import (
+    optimize_pose_graph,
+    pose_graph_normal_equations,
+)
+from icp4dradar_tpu.io import SyntheticSequence
+from icp4dradar_tpu.io.scan import stack_scans
+from icp4dradar_tpu.parallel import (
+    batched_icp_pairs,
+    batched_preprocess,
+    distributed_normal_equations,
+    distributed_optimize_pose_graph,
+    make_mesh,
+    shard_scan_batch,
+)
+from tests.test_graph import make_drifted_chain
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+class TestDistributedGN:
+    def test_normal_equations_match_single_device(self, mesh):
+        gt, init, rel = make_drifted_chain(K=10)
+        graph = PoseGraph(poses=jnp.asarray(init), rel=rel)
+        H1, g1, c1 = pose_graph_normal_equations(graph)
+        H8, g8, c8 = distributed_normal_equations(graph, mesh)
+        np.testing.assert_allclose(np.asarray(H8), np.asarray(H1), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g8), np.asarray(g1), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(c8), float(c1), rtol=1e-4)
+
+    def test_distributed_optimize_matches(self, mesh):
+        gt, init, rel = make_drifted_chain(K=10)
+        graph = PoseGraph(poses=jnp.asarray(init), rel=rel)
+        cfg = PoseGraphConfig(max_iterations=10)
+        out1, cost1 = optimize_pose_graph(graph, cfg)
+        out8, cost8 = distributed_optimize_pose_graph(graph, mesh, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out8.poses), np.asarray(out1.poses), atol=1e-3
+        )
+        err = np.abs(np.asarray(out8.poses[:, :3, 3]) - gt[:, :3, 3]).max()
+        assert err < 1e-2
+
+    def test_point_factors_sharded(self, mesh):
+        rng = np.random.default_rng(3)
+        from icp4dradar_tpu.geom import se3_apply, se3_exp
+
+        T_true = se3_exp(jnp.asarray([0.2, 0.1, 0.0, 0.0, 0.05, 0.1], dtype=jnp.float32))
+        p = rng.normal(size=(37, 3)).astype(np.float32)  # deliberately not %8
+        q = np.asarray(se3_apply(T_true, jnp.asarray(p)))
+        pf = PointFactors.build(np.ones(37, np.int32), p, q)
+        graph = PoseGraph(poses=jnp.stack([jnp.eye(4), jnp.eye(4)]), points=pf)
+        H1, g1, c1 = pose_graph_normal_equations(graph)
+        H8, g8, c8 = distributed_normal_equations(graph, mesh)
+        np.testing.assert_allclose(np.asarray(H8), np.asarray(H1), rtol=1e-4, atol=1e-4)
+
+
+class TestDataParallel:
+    def test_batched_preprocess_sharded(self, mesh):
+        seq = SyntheticSequence(num_frames=8, max_points=512, num_landmarks=3000)
+        scans = stack_scans([seq.scan(k) for k in range(8)])
+        scans = shard_scan_batch(scans, mesh)
+        est = batched_preprocess(scans, jax.random.key(0), mesh)
+        assert est.velocity.shape == (8, 3)
+        # velocities track GT
+        v_err = [
+            np.linalg.norm(np.asarray(est.velocity[k]) - seq.ego_velocity(k))
+            for k in range(8)
+        ]
+        assert np.median(v_err) < 0.2
+
+    def test_batched_icp_pairs(self, mesh):
+        seq = SyntheticSequence(
+            num_frames=9, max_points=1024, num_landmarks=2000,
+            world_extent=60.0, max_range=50.0, dynamic_fraction=0.0,
+        )
+        scans = [seq.scan(k) for k in range(9)]
+        src = stack_scans(scans[1:9])
+        tgt = stack_scans(scans[0:8])
+        cfg = PipelineConfig().override(**{"icp.max_iterations": 15})
+        T = batched_icp_pairs(src, tgt, mesh, cfg)
+        assert T.shape == (8, 4, 4)
+        # each pair's transform approximates the GT relative pose
+        for k in range(8):
+            T_rel = np.linalg.inv(seq.poses[k]) @ seq.poses[k + 1]
+            np.testing.assert_allclose(
+                np.asarray(T[k])[:3, 3], T_rel[:3, 3], atol=0.25
+            )
