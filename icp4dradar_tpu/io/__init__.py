@@ -13,3 +13,10 @@ from icp4dradar_tpu.io.formats import (  # noqa: F401
     detect_format,
 )
 from icp4dradar_tpu.io.dataset import BinSequenceDataset, SyntheticSequence  # noqa: F401
+from icp4dradar_tpu.io.rosbag import (  # noqa: F401
+    RosbagReader,
+    RosbagWriter,
+    ImuSample,
+    OdomSample,
+)
+from icp4dradar_tpu.io.bag_dataset import RadarBagDataset  # noqa: F401

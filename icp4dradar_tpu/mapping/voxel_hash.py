@@ -298,3 +298,25 @@ def voxel_map_stencil_neighbors(
         jnp.arange(vmap.max_probes, dtype=jnp.int32),
     )
     return found_pts, found
+
+
+def voxel_map_knn(
+    vmap: VoxelHashMap,
+    queries: jnp.ndarray,
+    k: int,
+    stencil_radius: int = 1,
+    max_dist: float = jnp.inf,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest map points per query from the voxel stencil (the ikd-Tree
+    `Nearest_Search` k-NN + max_dist gate, ikd_Tree.cpp:368-398).
+
+    queries: (N,3) -> (dists2 (N,k), points (N,k,3)); slots beyond the
+    available neighbors carry +inf distance. Reach is bounded by the stencil:
+    (stencil_radius + 0.5) * voxel_size around the query's voxel.
+    """
+    cand, valid = voxel_map_stencil_neighbors(vmap, queries, stencil_radius)
+    d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid & (d2 < max_dist * max_dist), d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)
+    pts = jnp.take_along_axis(cand, idx[..., None], axis=1)
+    return -neg, pts

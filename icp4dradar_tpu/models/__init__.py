@@ -23,3 +23,5 @@ from icp4dradar_tpu.models.scan_to_map import (  # noqa: F401
     run_scan_to_map,
 )
 from icp4dradar_tpu.models.submap import SubmapAccumulator  # noqa: F401
+from icp4dradar_tpu.models.local_map import local_map_refinement, build_windows  # noqa: F401
+from icp4dradar_tpu.models.streaming import OdometrySession  # noqa: F401

@@ -26,9 +26,24 @@ import numpy as np
 
 def build_scans(args):
     import jax.numpy as jnp
-    from icp4dradar_tpu.io import BinSequenceDataset, SyntheticSequence
+    from icp4dradar_tpu.io import (
+        BinSequenceDataset, RadarBagDataset, SyntheticSequence,
+    )
     from icp4dradar_tpu.io.scan import stack_scans
 
+    prior_deltas = None
+    if args.bag:
+        ds = RadarBagDataset(
+            args.bag, args.topic_radar, args.topic_gt, args.topic_imu,
+            max_points=args.max_points,
+        )
+        scans = ds.stacked_scans()
+        gt_poses = ds.gt_poses()
+        if args.imu_prior:
+            from icp4dradar_tpu.preprocess import imu_prior_deltas
+
+            prior_deltas = imu_prior_deltas(ds.frames)
+        return scans, gt_poses, prior_deltas
     if args.dataset:
         ds = BinSequenceDataset(args.dataset, max_points=args.max_points)
         scans = [ds[k] for k in range(len(ds))]
@@ -40,7 +55,7 @@ def build_scans(args):
         )
         scans = [seq.scan(k) for k in range(len(seq))]
         gt_poses = seq.poses
-    return stack_scans(scans), gt_poses
+    return stack_scans(scans), gt_poses, prior_deltas
 
 
 def main(argv=None) -> int:
@@ -48,6 +63,17 @@ def main(argv=None) -> int:
     p.add_argument("--mode", choices=["scan_to_scan", "scan_to_map"],
                    default="scan_to_scan")
     p.add_argument("--dataset", help=".bin sequence directory (data/radar_pointcloud_k.bin)")
+    p.add_argument("--bag", help="ROS1 rosbag path (reference radar_odometry input)")
+    p.add_argument("--topic-radar", default="/radar_scan")
+    p.add_argument("--topic-gt", default=None)
+    p.add_argument("--topic-imu", default=None)
+    p.add_argument("--imu-prior", action="store_true",
+                   help="integrate bag IMU gyro into per-frame rotation priors")
+    p.add_argument("--local-map", action="store_true",
+                   help="window ICP refinement pass -> icp_map.txt "
+                        "(ref USE_LOCAL_MAP)")
+    p.add_argument("--viz", action="store_true",
+                   help="export map.ply + viewer.html (rviz replacement)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate a synthetic sequence with F frames instead")
     p.add_argument("--landmarks", type=int, default=20000)
@@ -88,10 +114,10 @@ def main(argv=None) -> int:
         cfg = cfg.override(**overrides)
     cfg = cfg.override(**{"max_points": args.max_points, "seed": args.seed})
 
-    if not args.dataset and not args.synthetic:
-        p.error("provide --dataset or --synthetic F")
+    if not args.dataset and not args.synthetic and not args.bag:
+        p.error("provide --dataset, --bag, or --synthetic F")
 
-    scans, gt_poses = build_scans(args)
+    scans, gt_poses, prior_deltas = build_scans(args)
     F = scans.xyz.shape[0]
     os.makedirs(args.out, exist_ok=True)
     log = MetricsLogger(os.path.join(args.out, "metrics.jsonl"), echo=False)
@@ -117,6 +143,7 @@ def main(argv=None) -> int:
     else:
         state, outs = run_scan_to_map(
             scans, cfg, use_doppler_prior=not args.static_only or args.doppler_prior,
+            prior_deltas=prior_deltas,
         )
         jax.block_until_ready(outs.world_T)
         elapsed = time.time() - t0
@@ -125,7 +152,33 @@ def main(argv=None) -> int:
                            np.asarray(outs.velocity))
         write_rt_txt(os.path.join(args.out, "radar_odometry.txt"), poses)
 
+    if args.local_map:
+        from icp4dradar_tpu.models import local_map_refinement
+
+        T_map = local_map_refinement(
+            np.asarray(scans.xyz), np.asarray(scans.mask), poses,
+            cfg=cfg.icp,
+        )
+        write_rt_txt(os.path.join(args.out, "icp_map.txt"), T_map)
+
     write_tum(os.path.join(args.out, "odom_tum.txt"), poses)
+
+    if args.viz:
+        from icp4dradar_tpu.utils import export_map_ply, write_html_viewer
+
+        map_pts = None
+        if args.mode == "scan_to_map":
+            n_vox = export_map_ply(os.path.join(args.out, "map.ply"), state.vmap)
+            occ = np.asarray(state.vmap.occupied) > 0.5
+            map_pts = np.asarray(state.vmap.points)[occ]
+            print(f"map.ply: {n_vox} voxels", flush=True)
+        write_html_viewer(
+            os.path.join(args.out, "viewer.html"),
+            poses[:, :3, 3],
+            gt_positions=gt_poses[:, :3, 3] if gt_poses is not None else None,
+            map_points=map_pts,
+            title=f"{args.mode} odometry",
+        )
     scans_per_sec = F / elapsed
     rec = {"frames": F, "elapsed_s": round(elapsed, 3),
            "scans_per_sec": round(scans_per_sec, 2)}

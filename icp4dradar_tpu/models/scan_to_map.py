@@ -74,14 +74,22 @@ def scan_to_map_step(
     gt_pose: Optional[jnp.ndarray] = None,
     insert_before_registration: bool = False,
     use_doppler_prior: bool = False,
+    prior_delta: Optional[jnp.ndarray] = None,
 ) -> Tuple[ScanToMapState, ScanToMapOutput]:
     """One tracked frame. Empty map (first frame) degenerates to an identity
-    correction and seeds the map — no special-casing needed."""
+    correction and seeds the map — no special-casing needed.
+
+    `prior_delta` (4,4): body-frame motion prior for this frame (e.g. the
+    IMU rotation from preprocess.imu.imu_prior_deltas), composed into the
+    predicted pose before registration."""
     vmcfg = cfg.voxel_map
     est = estimate_ego_velocity(scan, key, cfg.reve)
     inlier_mask = est.inlier_mask
 
     pose = state.world_T if gt_pose is None else gt_pose
+    if prior_delta is not None and gt_pose is None:
+        has_map_p = state.vmap.num_voxels > 0
+        pose = jnp.where(has_map_p, pose @ prior_delta, pose)
     if use_doppler_prior and gt_pose is None:
         # advance the pose by one frame of Doppler ego motion before
         # registration (velocity is in the body frame) — but only once the
@@ -130,27 +138,34 @@ def run_scan_to_map(
     gt_poses: Optional[jnp.ndarray] = None,
     insert_before_registration: bool = False,
     use_doppler_prior: bool = True,
+    prior_deltas: Optional[jnp.ndarray] = None,
 ) -> Tuple[ScanToMapState, ScanToMapOutput]:
     """lax.scan the tracked-frame step over a stacked sequence (F, ...) in
     one device call. Returns (final state incl. the built map, stacked
-    per-frame outputs)."""
+    per-frame outputs). `prior_deltas` (F,4,4): optional per-frame body
+    motion priors (see preprocess.imu)."""
     if key is None:
         key = jax.random.key(cfg.seed)
     F = scans.xyz.shape[0]
     keys = jax.random.split(key, F)
 
     def step(carry, inp):
-        if gt_poses is None:
-            scan, k = inp
-            gt = None
-        else:
-            scan, k, gt = inp
+        scan, k = inp[0], inp[1]
+        rest = inp[2:]
+        gt = rest[0] if gt_poses is not None else None
+        pd = rest[-1] if prior_deltas is not None else None
         return scan_to_map_step(
             carry, scan, k, cfg, gt_pose=gt,
             insert_before_registration=insert_before_registration,
             use_doppler_prior=use_doppler_prior,
+            prior_delta=pd,
         )
 
-    inputs = (scans, keys) if gt_poses is None else (scans, keys, gt_poses)
-    state, outs = jax.lax.scan(step, scan_to_map_init(cfg, scans.xyz.dtype), inputs)
+    inputs = [scans, keys]
+    if gt_poses is not None:
+        inputs.append(gt_poses)
+    if prior_deltas is not None:
+        inputs.append(jnp.asarray(prior_deltas))
+    state, outs = jax.lax.scan(step, scan_to_map_init(cfg, scans.xyz.dtype),
+                               tuple(inputs))
     return state, outs

@@ -13,3 +13,7 @@ from icp4dradar_tpu.preprocess.reve import (  # noqa: F401
     EgoVelocityEstimate,
     estimate_ego_velocity,
 )
+from icp4dradar_tpu.preprocess.imu import (  # noqa: F401
+    integrate_gyro,
+    imu_prior_deltas,
+)

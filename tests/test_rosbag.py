@@ -1,0 +1,131 @@
+"""Rosbag reader/writer round-trip and bag-backed dataset tests."""
+
+import numpy as np
+import pytest
+
+from icp4dradar_tpu.io import (
+    RadarBagDataset,
+    RosbagReader,
+    RosbagWriter,
+    SyntheticSequence,
+)
+
+
+def write_synthetic_bag(path, seq, topic_radar="/radar", topic_gt="/gt",
+                        topic_imu="/imu", fmt="coloradar", hz=10.0):
+    from icp4dradar_tpu.geom.so3 import matrix_to_quat
+    import jax.numpy as jnp
+
+    w = RosbagWriter(path)
+    for k in range(len(seq)):
+        t = 1000.0 + k / hz
+        s = seq.scan(k)
+        rec = s.to_numpy_valid()  # (M,5) x y z intensity doppler
+        if fmt == "coloradar":
+            cols = {
+                "x": rec[:, 0], "y": rec[:, 1], "z": rec[:, 2],
+                "intensity": rec[:, 3], "doppler": rec[:, 4],
+                "range": np.linalg.norm(rec[:, :3], axis=-1),
+            }
+        elif fmt == "oculii":
+            cols = {
+                "x": rec[:, 0], "y": rec[:, 1], "z": rec[:, 2],
+                "Power": rec[:, 3], "Doppler": rec[:, 4],
+                "Range": np.linalg.norm(rec[:, :3], axis=-1),
+                "Alpha": np.zeros(len(rec), np.float32),
+                "Beta": np.zeros(len(rec), np.float32),
+            }
+        w.add_pointcloud2(topic_radar, t, cols)
+        q = np.asarray(matrix_to_quat(jnp.asarray(seq.poses[k][:3, :3])))
+        w.add_odometry(topic_gt, t + 0.01, seq.poses[k][:3, 3], q)
+        w.add_imu(topic_imu, t + 0.005, [0, 0, 0.01], [0, 0, -9.81])
+    w.close()
+
+
+@pytest.fixture(scope="module")
+def bag(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bags")
+    seq = SyntheticSequence(num_frames=6, max_points=512, num_landmarks=3000)
+    path = str(d / "test.bag")
+    write_synthetic_bag(path, seq)
+    return path, seq
+
+
+class TestRosbagRoundtrip:
+    def test_reads_all_topics(self, bag):
+        path, seq = bag
+        msgs = list(RosbagReader(path).read_messages())
+        topics = {t for t, _, _ in msgs}
+        assert topics == {"/radar", "/gt", "/imu"}
+        assert sum(1 for t, _, _ in msgs if t == "/radar") == 6
+
+    def test_topic_filter(self, bag):
+        path, _ = bag
+        msgs = list(RosbagReader(path).read_messages(["/gt"]))
+        assert all(t == "/gt" for t, _, _ in msgs)
+        assert len(msgs) == 6
+
+    def test_pointcloud_columns(self, bag):
+        path, seq = bag
+        msgs = [m for t, m, _ in RosbagReader(path).read_messages(["/radar"])]
+        cols = msgs[0].columns
+        assert {"x", "y", "z", "intensity", "doppler", "range"} <= set(cols)
+        rec = seq.scan(0).to_numpy_valid()
+        np.testing.assert_allclose(cols["x"], rec[:, 0], atol=1e-6)
+        np.testing.assert_allclose(cols["doppler"], rec[:, 4], atol=1e-6)
+
+    def test_odometry_poses(self, bag):
+        path, seq = bag
+        msgs = [m for t, m, _ in RosbagReader(path).read_messages(["/gt"])]
+        T3 = msgs[3].pose_matrix()
+        np.testing.assert_allclose(T3, seq.poses[3], atol=1e-5)
+
+    def test_imu_decoding(self, bag):
+        path, _ = bag
+        msgs = [m for t, m, _ in RosbagReader(path).read_messages(["/imu"])]
+        np.testing.assert_allclose(msgs[0].angular_velocity, [0, 0, 0.01], atol=1e-7)
+        np.testing.assert_allclose(msgs[0].linear_acceleration, [0, 0, -9.81], atol=1e-6)
+
+    def test_not_a_bag_raises(self, tmp_path):
+        p = str(tmp_path / "x.bag")
+        open(p, "wb").write(b"garbage file")
+        with pytest.raises(ValueError, match="not a ROS1"):
+            list(RosbagReader(p).read_messages())
+
+
+class TestRadarBagDataset:
+    def test_frames_with_gt_alignment(self, bag):
+        path, seq = bag
+        ds = RadarBagDataset(path, "/radar", "/gt", "/imu", max_points=512)
+        assert len(ds) == 6
+        f = ds[2]
+        assert f.gt_pose is not None          # 0.01 s offset < 0.1 s gate
+        np.testing.assert_allclose(f.gt_pose, seq.poses[2], atol=1e-5)
+        assert len(f.imu) >= 1
+        assert float(f.scan.num_valid) == float(seq.scan(2).num_valid)
+
+    def test_oculii_format_detected(self, tmp_path):
+        seq = SyntheticSequence(num_frames=2, max_points=256, num_landmarks=2000)
+        path = str(tmp_path / "oc.bag")
+        write_synthetic_bag(path, seq, fmt="oculii")
+        ds = RadarBagDataset(path, "/radar", max_points=256)
+        s = ds[0].scan
+        ref = seq.scan(0)
+        np.testing.assert_allclose(
+            np.asarray(s.xyz), np.asarray(ref.xyz)[:256], atol=1e-6
+        )
+
+    def test_pipeline_runs_on_bag(self, bag):
+        import jax
+
+        from icp4dradar_tpu.config import PipelineConfig
+        from icp4dradar_tpu.models import run_scan_to_scan
+
+        path, seq = bag
+        ds = RadarBagDataset(path, "/radar", "/gt", max_points=512)
+        scans = ds.stacked_scans()
+        cfg = PipelineConfig().override(**{"icp.max_iterations": 10})
+        outs = run_scan_to_scan(scans, cfg, use_doppler_prior=True)
+        assert np.isfinite(np.asarray(outs.world_T)).all()
+        gt = ds.gt_poses()
+        assert gt is not None and gt.shape == (6, 4, 4)

@@ -118,3 +118,38 @@ class TestCheckpoint:
         assert meta["frame"] == 42
         np.testing.assert_allclose(np.asarray(m2.points), np.asarray(m.points))
         assert int(jnp.sum(m2.occupied)) == int(jnp.sum(m.occupied))
+
+
+class TestViz:
+    def test_ply_roundtrip_header(self, tmp_path, rng):
+        from icp4dradar_tpu.utils import write_ply
+
+        pts = rng.normal(size=(20, 3)).astype(np.float32)
+        p = str(tmp_path / "m.ply")
+        write_ply(p, pts, rng.uniform(0, 30, 20).astype(np.float32))
+        lines = open(p).read().splitlines()
+        assert lines[0] == "ply"
+        assert "element vertex 20" in lines
+        body = lines[lines.index("end_header") + 1:]
+        assert len(body) == 20 and len(body[0].split()) == 6
+
+    def test_map_export(self, tmp_path, rng):
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.mapping import voxel_map_create, voxel_map_insert
+        from icp4dradar_tpu.utils import export_map_ply
+
+        m = voxel_map_create(capacity=1 << 8, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32)))
+        n = export_map_ply(str(tmp_path / "map.ply"), m)
+        assert n == int(np.asarray(m.occupied).sum())
+
+    def test_html_viewer(self, tmp_path, rng):
+        from icp4dradar_tpu.utils import write_html_viewer
+
+        est = np.cumsum(rng.normal(size=(30, 3)), 0)
+        p = str(tmp_path / "v.html")
+        write_html_viewer(p, est, gt_positions=est + 0.1,
+                          map_points=rng.normal(size=(100, 3)))
+        html = open(p).read()
+        assert html.startswith("<!DOCTYPE html>") and "canvas" in html
