@@ -20,3 +20,4 @@ from icp4dradar_tpu.io.rosbag import (  # noqa: F401
     OdomSample,
 )
 from icp4dradar_tpu.io.bag_dataset import RadarBagDataset  # noqa: F401
+from icp4dradar_tpu.io.pcd import read_pcd, write_pcd, PcdSequenceDataset  # noqa: F401

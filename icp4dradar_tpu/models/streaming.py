@@ -36,11 +36,14 @@ class OdometrySession:
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 50,
         use_doppler_prior: bool = True,
+        guard_nonfinite: bool = True,
     ):
         self.cfg = cfg
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        self.guard_nonfinite = guard_nonfinite
         self.frame = 0
+        self.skipped_frames = 0
         self.state: ScanToMapState = scan_to_map_init(cfg)
         self._key = jax.random.key(cfg.seed)
         self._step = jax.jit(
@@ -51,9 +54,21 @@ class OdometrySession:
 
     # ------------------------------------------------------------------
     def process(self, scan: RadarScan) -> ScanToMapOutput:
-        """Track one scan; returns the per-frame output record."""
+        """Track one scan; returns the per-frame output record.
+
+        With `guard_nonfinite`, a frame whose pose update goes non-finite
+        (degenerate scan, solver blow-up) is skipped: the previous state is
+        kept and `skipped_frames` incremented — the failure-containment the
+        reference has no counterpart for (SURVEY.md §5).
+        """
         self._key, sub = jax.random.split(self._key)
-        self.state, out = self._step(self.state, scan, sub)
+        new_state, out = self._step(self.state, scan, sub)
+        if self.guard_nonfinite and not bool(
+            jax.numpy.isfinite(new_state.world_T).all()
+        ):
+            self.skipped_frames += 1
+        else:
+            self.state = new_state
         self.frame += 1
         if (
             self.checkpoint_dir

@@ -130,3 +130,49 @@ class TestSyntheticAndDataset:
         # dynamic points have big positive residual; static ones ~0
         assert resid[m & dyn].min() > 0.5
         assert np.abs(resid[m & ~dyn]).max() < 0.5
+
+
+class TestPcd:
+    def test_binary_roundtrip(self, tmp_path, rng):
+        from icp4dradar_tpu.io import read_pcd, write_pcd
+
+        cols = {
+            "x": rng.normal(size=50).astype(np.float32),
+            "y": rng.normal(size=50).astype(np.float32),
+            "z": rng.normal(size=50).astype(np.float32),
+            "doppler": rng.normal(size=50).astype(np.float32),
+        }
+        p = str(tmp_path / "a.pcd")
+        write_pcd(p, cols, binary=True)
+        back = read_pcd(p)
+        for k in cols:
+            np.testing.assert_allclose(back[k], cols[k], atol=0)
+
+    def test_ascii_roundtrip(self, tmp_path, rng):
+        from icp4dradar_tpu.io import read_pcd, write_pcd
+
+        cols = {"x": rng.normal(size=10).astype(np.float32),
+                "y": rng.normal(size=10).astype(np.float32),
+                "z": rng.normal(size=10).astype(np.float32)}
+        p = str(tmp_path / "b.pcd")
+        write_pcd(p, cols, binary=False)
+        back = read_pcd(p)
+        np.testing.assert_allclose(back["x"], cols["x"], atol=1e-5)
+
+    def test_pcd_sequence_dataset(self, tmp_path, rng):
+        from icp4dradar_tpu.io import write_pcd
+        from icp4dradar_tpu.io.pcd import PcdSequenceDataset
+
+        for k in range(3):
+            cols = {
+                "x": rng.normal(size=20).astype(np.float32),
+                "y": rng.normal(size=20).astype(np.float32),
+                "z": rng.normal(size=20).astype(np.float32),
+                "intensity": rng.uniform(0, 30, 20).astype(np.float32),
+                "doppler": rng.normal(size=20).astype(np.float32),
+            }
+            write_pcd(str(tmp_path / "pcd" / f"{k:05d}.pcd"), cols)
+        ds = PcdSequenceDataset(str(tmp_path), max_points=64)
+        assert len(ds) == 3
+        s = ds[1]
+        assert float(s.num_valid) == 20.0

@@ -153,3 +153,45 @@ class TestViz:
                           map_points=rng.normal(size=(100, 3)))
         html = open(p).read()
         assert html.startswith("<!DOCTYPE html>") and "canvas" in html
+
+
+class TestDebugGuards:
+    def test_assert_finite_tree(self):
+        from icp4dradar_tpu.utils import assert_finite_tree
+
+        good = {"a": np.ones(3), "b": (np.zeros(2),)}
+        assert_finite_tree(good)
+        bad = {"a": np.array([1.0, np.nan])}
+        try:
+            assert_finite_tree(bad, "state")
+            assert False, "should raise"
+        except FloatingPointError as e:
+            assert "state" in str(e)
+
+    def test_validate_scan(self, rng):
+        from icp4dradar_tpu.io import RadarScan
+        from icp4dradar_tpu.utils import validate_scan
+
+        s = RadarScan.from_arrays(rng.normal(size=(10, 3)), max_points=16)
+        validate_scan(s)
+        bad_xyz = np.asarray(s.xyz).copy()
+        bad_xyz[0, 0] = np.inf
+        s_bad = s.replace(xyz=jnp.asarray(bad_xyz))
+        try:
+            validate_scan(s_bad)
+            assert False
+        except FloatingPointError:
+            pass
+
+    def test_checked_catches_nan(self):
+        import jax
+
+        from icp4dradar_tpu.utils import checked
+
+        f = checked(jax.jit(lambda x: jnp.log(x)))
+        f(jnp.asarray([1.0, 2.0]))  # fine
+        try:
+            f(jnp.asarray([-1.0]))
+            assert False
+        except Exception:
+            pass
