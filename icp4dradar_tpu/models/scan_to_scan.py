@@ -117,21 +117,61 @@ def run_scan_to_scan(
     pairs with itself (identity transform — ref behavior for order==0,
     src/iterative_closest_point.cpp:306-310). Returns stacked per-frame
     outputs (F, ...).
+
+    Structure: preprocessing (RANSAC fit + split + velocity) runs ONCE per
+    frame as a vmapped batch — the reference recomputes the previous scan's
+    fit every frame (:433-467); here each frame's results are reused as the
+    pair's target side. Then the sequential ICP + pose chain lax.scans over
+    frames.
     """
     if key is None:
         key = jax.random.key(cfg.seed)
     F = scans.xyz.shape[0]
-    prev = jax.tree.map(lambda x: jnp.concatenate([x[:1], x[:-1]], 0), scans)
     keys = jax.random.split(key, F)
 
-    def step(carry, inp):
-        scan_c, scan_p, k = inp
-        return scan_to_scan_step(
-            carry, scan_c, scan_p, k, cfg,
-            use_doppler_prior=use_doppler_prior,
-            use_static_points_only=use_static_points_only,
-        )
+    # Phase 1: per-frame preprocessing, batched.
+    def pp(scan, k):
+        fit = fit_sine_ransac(scan, k, cfg.doppler)
+        static, _ = static_dynamic_split(scan, fit, cfg.doppler)
+        velocity, _ = lsq_ego_velocity(scan, static)
+        return fit, static, velocity
 
-    _, outs = jax.lax.scan(step, scan_to_scan_init(scans.xyz.dtype),
-                           (scans, prev, keys))
-    return outs
+    fits, statics, velocities = jax.vmap(pp)(scans, keys)
+
+    prev = jax.tree.map(lambda x: jnp.concatenate([x[:1], x[:-1]], 0), scans)
+    statics_prev = jnp.concatenate([statics[:1], statics[:-1]], 0)
+
+    # Phase 2: frame pairs are independent — register ALL pairs in one
+    # vmapped batch (the reference's serial frame loop is an artifact of its
+    # single-thread design, not a data dependency).
+    def register(scan_c, scan_p, static_c, static_p, velocity):
+        src_mask = static_c if use_static_points_only else scan_c.mask
+        tgt_mask = static_p if use_static_points_only else scan_p.mask
+        if use_doppler_prior:
+            init_T = se3_from_rt(jnp.eye(3, dtype=velocity.dtype), velocity)
+        else:
+            init_T = se3_identity(velocity.dtype)
+        res = icp_point_to_point(
+            scan_c.xyz, scan_p.xyz, src_mask, tgt_mask,
+            init_transform=init_T, cfg=cfg.icp,
+        )
+        return res.transform, res.fitness, res.converged
+
+    T_rel, fitness, converged = jax.vmap(register)(
+        scans, prev, statics, statics_prev, velocities
+    )
+
+    # Phase 3: pose accumulation T_k = T_1 ... T_k is an associative prefix
+    # product — parallel scan instead of a serial chain.
+    world_T = jax.lax.associative_scan(jnp.matmul, T_rel)
+
+    return ScanToScanOutput(
+        icp_transform=T_rel,
+        world_T=world_T,
+        velocity=velocities,
+        fitness=fitness,
+        sine_A=fits.A,
+        sine_b=fits.b,
+        num_static=jnp.sum(statics, axis=-1),
+        converged=converged,
+    )

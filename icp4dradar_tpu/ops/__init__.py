@@ -7,6 +7,8 @@ from icp4dradar_tpu.ops.knn import (  # noqa: F401
     nearest_neighbor,
     nearest_neighbor_pallas,
     nearest_neighbor_xla,
+    nearest_neighbor_with_coords,
+    nearest_neighbor_coords_pallas,
     knn,
 )
 from icp4dradar_tpu.ops.compaction import mask_compact  # noqa: F401

@@ -1,0 +1,183 @@
+"""Fused ICP-iteration kernel: transform + NN correspondence + weighted
+moment accumulation in ONE Pallas pass.
+
+The speed-of-light formulation of the ICP hot loop (SURVEY.md §7 step 3):
+per iteration the only data that leaves the kernel are 24 scalars per source
+block — the weighted correspondence moments
+
+    [ sum w,  sum w p,  sum w q,  sum w p q^T,  sum w d2 ]   (17 numbers)
+
+from which the host-side math recovers centroids, the 3x3 cross-covariance,
+the Kabsch/Horn rotation, and the PCL-style fitness — all O(1). No (N,3)
+intermediate ever round-trips HBM, no gathers, no 3x3 SVD.
+
+Layout notes (v5e):
+- source rides transposed (4, TS): x,y,z,mask rows with points along LANES
+- target rides (TM, 4): points along SUBLANES so the (TM, TS) distance tile
+  broadcasts naturally and min/argmin reduce over sublanes
+- the pose rides as a (1, 16) row-major 4x4 in VMEM
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = jnp.float32(1e30)
+_NMOM = 24  # 17 used, padded
+
+
+def _make_icp_moments_kernel(max_d2: float):
+    gate = min(float(max_d2) ** 2 if max_d2 < 1e15 else _BIG * 0.5,
+               float(_BIG) * 0.5)
+
+    def kernel(T_ref, src_ref, tgt_ref, out_ref):
+        i = pl.program_id(0)
+        tm = tgt_ref.shape[0]
+        ts = src_ref.shape[1]
+
+        Tm = T_ref[0, :]                  # (16,) row-major 4x4
+        s4 = src_ref[:]                   # (4, TS): x,y,z,mask
+        t4 = tgt_ref[:]                   # (TM, 4): x,y,z,penalty
+
+        # moved source p = R s + t, per coordinate row (lane-parallel)
+        p = [
+            Tm[4 * r + 0] * s4[0, :] + Tm[4 * r + 1] * s4[1, :]
+            + Tm[4 * r + 2] * s4[2, :] + Tm[4 * r + 3]
+            for r in range(3)
+        ]                                 # 3 x (TS,)
+        w_src = s4[3, :]
+
+        # distance tile (TM, TS) + penalty column for masked targets
+        d2 = jnp.zeros((tm, ts), jnp.float32)
+        for k in range(3):
+            diff = t4[:, k:k + 1] - p[k][None, :]
+            d2 += diff * diff
+        d2 += t4[:, 3][:, None]
+
+        dmin = jnp.min(d2, axis=0)                               # (TS,)
+        rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        arg = jnp.min(jnp.where(d2 <= dmin[None, :], rows, tm), axis=0)
+        onehot = (rows == arg[None, :]).astype(jnp.float32)      # (TM, TS)
+        q = [jnp.sum(t4[:, k][:, None] * onehot, axis=0) for k in range(3)]
+
+        w = w_src * (dmin < gate)
+
+        # weighted moments, reduced over lanes -> 17 scalars
+        mom = [jnp.sum(w)]
+        mom += [jnp.sum(w * p[a]) for a in range(3)]
+        mom += [jnp.sum(w * q[a]) for a in range(3)]
+        for a in range(3):
+            for b in range(3):
+                mom.append(jnp.sum(w * p[a] * q[b]))
+        mom.append(jnp.sum(w * dmin))
+        vals = jnp.stack(mom)             # (17,)
+        out_ref[i, : vals.shape[0]] = vals
+        out_ref[i, vals.shape[0]:] = jnp.zeros(
+            (_NMOM - vals.shape[0],), jnp.float32
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_correspondence_dist", "ts", "interpret")
+)
+def icp_iteration_moments(
+    T: jnp.ndarray,
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_xyz: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    max_correspondence_dist: float = 1e8,
+    ts: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused pass -> (17,) moments [sw, swp(3), swq(3), swpq(9), swd2].
+
+    Correspondences beyond max_correspondence_dist (static) get weight 0.
+    """
+    n, m = src_xyz.shape[0], tgt_xyz.shape[0]
+    ts = min(ts, max(8, n))
+    pad_n = (-n) % ts
+    src4 = jnp.concatenate(
+        [src_xyz.astype(jnp.float32), src_mask.astype(jnp.float32)[:, None]],
+        axis=-1,
+    )
+    src4 = jnp.pad(src4, ((0, pad_n), (0, 0))).T            # (4, Np)
+    tm = m + ((-m) % 8)
+    tgt_p = jnp.pad(tgt_xyz.astype(jnp.float32), ((0, tm - m), (0, 0)))
+    pen = jnp.where(tgt_mask > 0.5, 0.0, _BIG).astype(jnp.float32)
+    pen = jnp.pad(pen, (0, tm - m), constant_values=_BIG)
+    tgt4 = jnp.concatenate([tgt_p, pen[:, None]], axis=-1)   # (TM, 4)
+    T16 = T.astype(jnp.float32).reshape(1, 16)
+
+    np_ = src4.shape[1]
+    ns = np_ // ts
+    out = pl.pallas_call(
+        _make_icp_moments_kernel(max_correspondence_dist),
+        grid=(ns,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, ts), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ns, _NMOM), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ns, _NMOM), jnp.float32),
+        interpret=interpret,
+    )(T16, src4, tgt4)
+    moments = jnp.sum(out, axis=0)[:17]
+    return moments
+
+
+def icp_iteration_moments_xla(
+    T: jnp.ndarray,
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_xyz: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    max_correspondence_dist: float = 1e8,
+) -> jnp.ndarray:
+    """Reference XLA implementation (CPU tests / fallback)."""
+    from icp4dradar_tpu.geom.se3 import se3_apply
+    from icp4dradar_tpu.ops.knn import nearest_neighbor_xla
+
+    p = se3_apply(T, src_xyz)
+    idx, d2 = nearest_neighbor_xla(p, tgt_xyz, tgt_mask)
+    q = tgt_xyz[idx]
+    gate = min(float(max_correspondence_dist) ** 2
+               if max_correspondence_dist < 1e15 else float(_BIG) * 0.5,
+               float(_BIG) * 0.5)
+    w = src_mask * (d2 < gate)
+    mom = [jnp.sum(w)]
+    mom += [jnp.sum(w * p[:, a]) for a in range(3)]
+    mom += [jnp.sum(w * q[:, a]) for a in range(3)]
+    for a in range(3):
+        for b in range(3):
+            mom.append(jnp.sum(w * p[:, a] * q[:, b]))
+    mom.append(jnp.sum(w * d2))
+    return jnp.stack(mom)
+
+
+def moments_to_transform(moments: jnp.ndarray, dtype=jnp.float32):
+    """(17,) moments -> (dT (4,4) Horn best-fit of p onto q, mean d2).
+
+    dT is the incremental correction: apply as T <- dT @ T."""
+    from icp4dradar_tpu.geom.kabsch import _rotation_from_cross_covariance
+    from icp4dradar_tpu.geom.se3 import se3_from_rt
+
+    sw = jnp.maximum(moments[0], 1e-9)
+    mu_p = moments[1:4] / sw
+    mu_q = moments[4:7] / sw
+    pq = moments[7:16].reshape(3, 3)
+    H = pq - sw * jnp.outer(mu_p, mu_q)
+    R = _rotation_from_cross_covariance(H)
+    t = mu_q - R @ mu_p
+    mean_d2 = moments[16] / sw
+    return se3_from_rt(R.astype(dtype), t.astype(dtype)), mean_d2

@@ -66,20 +66,27 @@ def fit_sine_ransac(
     alpha = scan.azimuth
     ce = jnp.cos(scan.elevation)
     vr_ce = scan.doppler * ce  # v_r cos(beta), the model LHS
+    # trig precomputed once per point; hypothesis scoring is then pure FMA:
+    # A cos(a+b) = (A cos b) cos a - (A sin b) sin a = u*ca + w*sa
+    ca = jnp.cos(alpha)
+    sa = jnp.sin(alpha)
 
     a1, a2 = alpha[i1], alpha[i2]
     y1, y2 = vr_ce[i1], vr_ce[i2]
     k = y1 / jnp.where(jnp.abs(y2) < 1e-12, 1e-12, y2)
-    denom = jnp.sin(a1) - k * jnp.sin(a2)
+    denom = sa[i1] - k * sa[i2]
     b = jnp.arctan(
-        (jnp.cos(a1) - k * jnp.cos(a2))
+        (ca[i1] - k * ca[i2])
         / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     )
     cosab = jnp.cos(a1 + b)
     A = y1 / jnp.where(jnp.abs(cosab) < 1e-12, 1e-12, cosab)
 
-    # Score all H hypotheses against all N points in one broadcast.
-    delta = vr_ce[None, :] - A[:, None] * jnp.cos(alpha[None, :] + b[:, None])
+    # Score all H hypotheses against all N points in one broadcast (no
+    # transcendentals in the (H, N) tile).
+    u = A * jnp.cos(b)
+    w_c = A * jnp.sin(b)
+    delta = vr_ce[None, :] - (u[:, None] * ca[None, :] - w_c[:, None] * sa[None, :])
     finite = jnp.isfinite(A) & jnp.isfinite(b)
     score = jnp.sum(
         (jnp.abs(delta) < cfg.inlier_sigma) * scan.mask[None, :], axis=-1

@@ -20,7 +20,12 @@ from flax import struct
 
 from icp4dradar_tpu.config import IcpConfig
 from icp4dradar_tpu.geom import kabsch_umeyama, se3_apply, se3_identity, se3_log
-from icp4dradar_tpu.ops import nearest_neighbor
+from icp4dradar_tpu.ops import nearest_neighbor, nearest_neighbor_with_coords
+from icp4dradar_tpu.ops.icp_fused import (
+    icp_iteration_moments,
+    icp_iteration_moments_xla,
+    moments_to_transform,
+)
 
 
 @struct.dataclass
@@ -45,12 +50,19 @@ def icp_point_to_point(
     if tgt_mask is None:
         tgt_mask = jnp.ones(tgt_xyz.shape[0], dtype=tgt_xyz.dtype)
     T0 = se3_identity(src_xyz.dtype) if init_transform is None else init_transform
-    max_d2 = jnp.asarray(cfg.max_correspondence_dist, src_xyz.dtype) ** 2
 
-    def correspondence_weights(moved):
-        idx, d2 = nearest_neighbor(moved, tgt_xyz, tgt_mask)
-        w = src_mask * (d2 < max_d2)
-        return idx, d2, w
+    # One fused kernel per iteration: transform + NN + weighted moments
+    # (ops/icp_fused.py); only 4x4 math runs outside.
+    if jax.default_backend() == "tpu":
+        moments_fn = lambda T, gate: icp_iteration_moments(
+            T, src_xyz, src_mask, tgt_xyz, tgt_mask,
+            max_correspondence_dist=gate,
+        )
+    else:
+        moments_fn = lambda T, gate: icp_iteration_moments_xla(
+            T, src_xyz, src_mask, tgt_xyz, tgt_mask,
+            max_correspondence_dist=gate,
+        )
 
     def cond(state):
         T, it, delta = state
@@ -58,10 +70,8 @@ def icp_point_to_point(
 
     def body(state):
         T, it, _ = state
-        moved = se3_apply(T, src_xyz)
-        idx, d2, w = correspondence_weights(moved)
-        corr = tgt_xyz[idx]
-        dT = kabsch_umeyama(moved, corr, w)
+        moments = moments_fn(T, cfg.max_correspondence_dist)
+        dT, _ = moments_to_transform(moments, src_xyz.dtype)
         T_new = dT @ T
         delta = jnp.sum(jnp.abs(se3_log(dT)))
         return (T_new, it + 1, delta)
@@ -72,10 +82,8 @@ def icp_point_to_point(
 
     # PCL-style fitness: mean squared NN distance of valid src points under
     # the final transform (getFitnessScore default: no max_range gate).
-    moved = se3_apply(T, src_xyz)
-    _, d2_fit = nearest_neighbor(moved, tgt_xyz, tgt_mask)
-    n_valid = jnp.maximum(jnp.sum(src_mask), 1.0)
-    fitness = jnp.sum(d2_fit * src_mask) / n_valid
+    fit_moments = moments_fn(T, 1e8)
+    _, fitness = moments_to_transform(fit_moments, src_xyz.dtype)
     converged = delta <= jnp.maximum(cfg.transformation_epsilon, 1e-12)
     # PCL reports converged=true when it ran to completion; mirror by also
     # accepting the iteration cap.

