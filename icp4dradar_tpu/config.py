@@ -100,6 +100,13 @@ class GicpConfig:
     transformation_epsilon: float = 1e-4
     cov_epsilon: float = 1e-3        # plane-regularized covariance floor (GICP standard)
     lm_lambda: float = 1e-6          # Levenberg damping on the 6x6 system
+    # VGICP map-tracking path (registration/vgicp.py): register against the
+    # voxel distribution map with measurement-model scan covariances —
+    # the fused TPU formulation. False falls back to kNN GICP (gicp.py).
+    use_vgicp: bool = True
+    sigma_range: float = 0.1         # radar radial std [m]
+    sigma_azimuth: float = 0.01      # radar azimuth std [rad]
+    sigma_elevation: float = 0.02    # radar elevation std [rad]
 
 
 @dataclass(frozen=True)

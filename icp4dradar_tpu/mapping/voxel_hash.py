@@ -42,12 +42,22 @@ _EMPTY = jnp.int32(0x7FFFFFFF)
 
 @struct.dataclass
 class VoxelHashMap:
-    """One point per voxel, open-addressed. All arrays length C (capacity)."""
+    """One point per voxel, open-addressed. All arrays length C (capacity).
+
+    Besides the representative point (keep-nearest-center, ikd-Tree
+    semantics), every voxel maintains an incremental Gaussian over ALL
+    points ever routed to it (count / sum / packed second moment) — the
+    VGICP-style distribution map that replaces per-frame kNN covariance
+    estimation in scan-to-map registration (registration/vgicp.py).
+    """
 
     keys: jnp.ndarray        # (C, 3) int32 voxel coords of occupant
     points: jnp.ndarray      # (C, 3) f32 stored point (nearest voxel center)
     intensity: jnp.ndarray   # (C,) f32
     occupied: jnp.ndarray    # (C,) f32 {0, 1}
+    stat_n: jnp.ndarray      # (C,) f32 point count
+    stat_sum: jnp.ndarray    # (C, 3) f32 sum of points
+    stat_sq: jnp.ndarray     # (C, 6) f32 sum of [xx,yy,zz,xy,xz,yz]
     voxel_size: float = struct.field(pytree_node=False, default=0.5)
     max_probes: int = struct.field(pytree_node=False, default=16)
 
@@ -58,6 +68,31 @@ class VoxelHashMap:
     @property
     def num_voxels(self) -> jnp.ndarray:
         return jnp.sum(self.occupied)
+
+    def voxel_means(self) -> jnp.ndarray:
+        """(C,3) per-voxel mean (zeros where empty)."""
+        n = jnp.maximum(self.stat_n, 1.0)[:, None]
+        return self.stat_sum / n
+
+    def voxel_covs_packed(self, min_count: float = 3.0,
+                          fallback_var: float = 0.01) -> jnp.ndarray:
+        """(C,6) packed covariance [xx,yy,zz,xy,xz,yz]; voxels with fewer
+        than `min_count` points fall back to an isotropic blob."""
+        n = jnp.maximum(self.stat_n, 1.0)[:, None]
+        mu = self.stat_sum / n
+        ex2 = self.stat_sq / n
+        cov = jnp.stack([
+            ex2[:, 0] - mu[:, 0] * mu[:, 0],
+            ex2[:, 1] - mu[:, 1] * mu[:, 1],
+            ex2[:, 2] - mu[:, 2] * mu[:, 2],
+            ex2[:, 3] - mu[:, 0] * mu[:, 1],
+            ex2[:, 4] - mu[:, 0] * mu[:, 2],
+            ex2[:, 5] - mu[:, 1] * mu[:, 2],
+        ], axis=-1)
+        iso = jnp.asarray([fallback_var, fallback_var, fallback_var,
+                           0.0, 0.0, 0.0], dtype=cov.dtype)
+        thin = (self.stat_n < min_count)[:, None]
+        return jnp.where(thin, iso[None, :], cov)
 
 
 def voxel_map_create(
@@ -71,6 +106,9 @@ def voxel_map_create(
         points=jnp.zeros((capacity, 3), dtype=dtype),
         intensity=jnp.zeros((capacity,), dtype=dtype),
         occupied=jnp.zeros((capacity,), dtype=dtype),
+        stat_n=jnp.zeros((capacity,), dtype=dtype),
+        stat_sum=jnp.zeros((capacity, 3), dtype=dtype),
+        stat_sq=jnp.zeros((capacity, 6), dtype=dtype),
         voxel_size=voxel_size,
         max_probes=max_probes,
     )
@@ -117,15 +155,23 @@ def voxel_map_insert(
     big = jnp.asarray(1e30, xyz.dtype)
     idx_n = jnp.arange(n, dtype=jnp.int32)
 
+    # per-point raw second moments for the voxel Gaussian accumulators
+    sq6 = jnp.stack([
+        xyz[:, 0] * xyz[:, 0], xyz[:, 1] * xyz[:, 1], xyz[:, 2] * xyz[:, 2],
+        xyz[:, 0] * xyz[:, 1], xyz[:, 0] * xyz[:, 2], xyz[:, 1] * xyz[:, 2],
+    ], axis=-1)
+
     state = dict(
         keys=vmap.keys, points=vmap.points, inten=vmap.intensity,
         occ=vmap.occupied,
+        sn=vmap.stat_n, ssum=vmap.stat_sum, ssq=vmap.stat_sq,
         alive=mask > 0.5,
         offset=jnp.zeros(n, dtype=jnp.int32),
     )
 
     def round_fn(state, _):
         keys, points, inten, occ = state["keys"], state["points"], state["inten"], state["occ"]
+        sn, ssum, ssq = state["sn"], state["ssum"], state["ssq"]
         alive, offset = state["alive"], state["offset"]
         slot = (h0 + offset) & (C - 1)
 
@@ -167,6 +213,16 @@ def voxel_map_insert(
         inten = inten.at[cw_slot].set(intensity, mode="drop")
         occ = occ.at[cw_slot].set(1.0, mode="drop")
 
+        # --- Gaussian accumulators: every candidate that RESOLVED to a slot
+        # this round (matched its voxel, or claimed it) contributes its raw
+        # moments, win or lose — the voxel distribution covers all routed
+        # points, not just the kept representative.
+        resolved = same | claim_win
+        r_slot = jnp.where(resolved, slot, C)
+        sn = sn.at[r_slot].add(1.0, mode="drop")
+        ssum = ssum.at[r_slot, :].add(xyz, mode="drop")
+        ssq = ssq.at[r_slot, :].add(sq6, mode="drop")
+
         # --- liveness update
         # same-voxel contenders are resolved (won or lost) -> dead
         # empty-claim winners -> dead
@@ -181,12 +237,14 @@ def voxel_map_insert(
         offset = offset + advance.astype(jnp.int32)
 
         return dict(keys=keys, points=points, inten=inten, occ=occ,
+                    sn=sn, ssum=ssum, ssq=ssq,
                     alive=alive, offset=offset), None
 
     state, _ = jax.lax.scan(round_fn, state, None, length=vmap.max_probes)
     return vmap.replace(
         keys=state["keys"], points=state["points"],
         intensity=state["inten"], occupied=state["occ"],
+        stat_n=state["sn"], stat_sum=state["ssum"], stat_sq=state["ssq"],
     )
 
 
@@ -242,6 +300,33 @@ def voxel_map_sector_search(
     return mask_compact(vmap.points, sel.astype(vmap.points.dtype), out_size)
 
 
+def voxel_map_sector_search_with_stats(
+    vmap: VoxelHashMap,
+    center: jnp.ndarray,
+    radius: float,
+    heading_deg: jnp.ndarray,
+    half_angle_deg: float,
+    out_size: int,
+    min_count: float = 3.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sector query that also emits each voxel's Gaussian: returns
+    (points (P,3), mask (P,), count (), means (P,3), covs_packed (P,6)).
+
+    The distribution payload is what scan-to-map VGICP registers against —
+    no per-frame kNN covariance estimation (registration/vgicp.py)."""
+    delta = vmap.points - center
+    d2 = jnp.sum(delta * delta, axis=-1)
+    bearing = jnp.arctan2(delta[..., 1], delta[..., 0]) * 180.0 / jnp.pi
+    diff = jnp.abs((bearing - heading_deg + 180.0) % 360.0 - 180.0)
+    sel = (vmap.occupied > 0.5) & (d2 < radius * radius) & (diff < half_angle_deg)
+    payload = jnp.concatenate(
+        [vmap.points, vmap.voxel_means(), vmap.voxel_covs_packed(min_count)],
+        axis=-1,
+    )  # (C, 12)
+    out, mask, count = mask_compact(payload, sel.astype(vmap.points.dtype), out_size)
+    return out[:, :3], mask, count, out[:, 3:6], out[:, 6:12]
+
+
 def voxel_map_delete_box(
     vmap: VoxelHashMap, lo: jnp.ndarray, hi: jnp.ndarray
 ) -> VoxelHashMap:
@@ -251,7 +336,13 @@ def voxel_map_delete_box(
     kill = (vmap.occupied > 0.5) & inside
     # Tombstone: clear occupancy but KEEP keys so open-addressing probe
     # chains through this slot remain intact; insertion revives on key match.
-    return vmap.replace(occupied=jnp.where(kill, 0.0, vmap.occupied))
+    # Gaussian accumulators reset so a revived voxel starts fresh.
+    return vmap.replace(
+        occupied=jnp.where(kill, 0.0, vmap.occupied),
+        stat_n=jnp.where(kill, 0.0, vmap.stat_n),
+        stat_sum=jnp.where(kill[:, None], 0.0, vmap.stat_sum),
+        stat_sq=jnp.where(kill[:, None], 0.0, vmap.stat_sq),
+    )
 
 
 def voxel_map_stencil_neighbors(

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from icp4dradar_tpu.config import PipelineConfig
-from icp4dradar_tpu.geom import se3_apply, se3_identity
+from icp4dradar_tpu.geom import se3_apply, se3_identity, se3_inverse
 from icp4dradar_tpu.geom.so3 import matrix_to_rpy
 from icp4dradar_tpu.io.scan import RadarScan
 from icp4dradar_tpu.mapping import (
@@ -34,8 +34,11 @@ from icp4dradar_tpu.mapping import (
     voxel_map_insert,
     voxel_map_sector_search,
 )
+from icp4dradar_tpu.mapping.voxel_hash import voxel_map_sector_search_with_stats
 from icp4dradar_tpu.preprocess.reve import estimate_ego_velocity
 from icp4dradar_tpu.registration.gicp import gicp_align
+from icp4dradar_tpu.registration.vgicp import vgicp_align
+from icp4dradar_tpu.ops.vgicp_fused import radar_point_covariances_packed
 
 
 @struct.dataclass
@@ -106,12 +109,33 @@ def scan_to_map_step(
         vmap = voxel_map_insert(vmap, world_pts, inlier_mask, scan.intensity)
 
     heading = matrix_to_rpy(pose[:3, :3])[2]
-    submap, submask, sub_n = voxel_map_sector_search(
-        vmap, pose[:3, 3], vmcfg.sector_radius, heading,
-        vmcfg.sector_half_angle_deg, vmcfg.submap_max_points,
-    )
-    g = gicp_align(world_pts, submap, inlier_mask, submask, cfg=cfg.gicp)
-    new_T = g.transform @ pose                  # left-compose (ref :412)
+    if cfg.gicp.use_vgicp:
+        # register the sensor-frame scan against the voxel distribution map
+        # (fused VGICP kernel); the refined pose comes out directly
+        submap, submask, sub_n, sub_mean, sub_cov = (
+            voxel_map_sector_search_with_stats(
+                vmap, pose[:3, 3], vmcfg.sector_radius, heading,
+                vmcfg.sector_half_angle_deg, vmcfg.submap_max_points,
+            )
+        )
+        src_cov6 = radar_point_covariances_packed(
+            scan.xyz, cfg.gicp.sigma_range, cfg.gicp.sigma_azimuth,
+            cfg.gicp.sigma_elevation,
+        )
+        g = vgicp_align(
+            scan.xyz, sub_mean, sub_cov, inlier_mask, submask,
+            src_cov6=src_cov6, init_transform=pose, cfg=cfg.gicp,
+        )
+        new_T = g.transform
+        correction = new_T @ se3_inverse(pose)
+    else:
+        submap, submask, sub_n = voxel_map_sector_search(
+            vmap, pose[:3, 3], vmcfg.sector_radius, heading,
+            vmcfg.sector_half_angle_deg, vmcfg.submap_max_points,
+        )
+        g = gicp_align(world_pts, submap, inlier_mask, submask, cfg=cfg.gicp)
+        new_T = g.transform @ pose              # left-compose (ref :412)
+        correction = g.transform
 
     if not insert_before_registration:
         corrected = se3_apply(new_T, scan.xyz)
@@ -120,7 +144,7 @@ def scan_to_map_step(
     new_state = ScanToMapState(world_T=new_T, vmap=vmap)
     out = ScanToMapOutput(
         world_T=new_T,
-        correction=g.transform,
+        correction=correction,
         velocity=est.velocity,
         velocity_sigma=est.sigma,
         velocity_valid=est.valid,

@@ -7,3 +7,4 @@ from icp4dradar_tpu.registration.gicp import (  # noqa: F401
     gicp_align,
     point_covariances,
 )
+from icp4dradar_tpu.registration.vgicp import vgicp_align  # noqa: F401

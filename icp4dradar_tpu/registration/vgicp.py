@@ -1,0 +1,88 @@
+"""VGICP: scan-to-map registration against the voxel distribution map.
+
+The flagship scan-to-map registration path (replaces gicp.py's kNN-based
+pipeline for map tracking): per-voxel Gaussians come from the map's
+incremental statistics, scan covariances from the radar measurement model,
+and each Gauss-Newton iteration is one fused Pallas kernel
+(ops/vgicp_fused.py). Behavioral lineage: FastGICP distribution-to-
+distribution cost (src/radar_odometry.cpp:399-411) with the covariance
+estimation moved from query time to map-build time.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from icp4dradar_tpu.config import GicpConfig
+from icp4dradar_tpu.geom import se3_exp, se3_identity, se3_log
+from icp4dradar_tpu.geom.linalg import solve_psd
+from icp4dradar_tpu.ops.vgicp_fused import (
+    radar_point_covariances_packed,
+    vgicp_iteration,
+    vgicp_iteration_xla,
+)
+from icp4dradar_tpu.registration.gicp import GicpResult
+
+
+def vgicp_align(
+    src_xyz: jnp.ndarray,
+    tgt_mean: jnp.ndarray,
+    tgt_cov6: jnp.ndarray,
+    src_mask: Optional[jnp.ndarray] = None,
+    tgt_mask: Optional[jnp.ndarray] = None,
+    src_cov6: Optional[jnp.ndarray] = None,
+    init_transform: Optional[jnp.ndarray] = None,
+    cfg: GicpConfig = GicpConfig(),
+) -> GicpResult:
+    """Align a scan onto voxel distributions (means + packed covariances).
+
+    src_xyz is in the SENSOR frame; init_transform is the pose prediction
+    (the optimization refines it; identity-seeded calls behave like the
+    reference's correction-transform usage)."""
+    if src_mask is None:
+        src_mask = jnp.ones(src_xyz.shape[0], dtype=src_xyz.dtype)
+    if tgt_mask is None:
+        tgt_mask = jnp.ones(tgt_mean.shape[0], dtype=src_xyz.dtype)
+    if src_cov6 is None:
+        src_cov6 = radar_point_covariances_packed(src_xyz)
+    T0 = se3_identity(src_xyz.dtype) if init_transform is None else init_transform
+
+    if jax.default_backend() == "tpu":
+        it_fn = lambda T: vgicp_iteration(
+            T, src_xyz, src_mask, src_cov6, tgt_mean, tgt_cov6, tgt_mask,
+            max_correspondence_dist=cfg.max_correspondence_dist,
+            cov_eps=cfg.cov_epsilon,
+        )
+    else:
+        it_fn = lambda T: vgicp_iteration_xla(
+            T, src_xyz, src_mask, src_cov6, tgt_mean, tgt_cov6, tgt_mask,
+            max_correspondence_dist=cfg.max_correspondence_dist,
+            cov_eps=cfg.cov_epsilon,
+        )
+
+    def cond(state):
+        T, it, delta = state
+        return (it < cfg.max_iterations) & (delta > cfg.transformation_epsilon)
+
+    def body(state):
+        T, it, _ = state
+        H, g, cost, wsum, d2sum = it_fn(T)
+        H = H + cfg.lm_lambda * jnp.eye(6, dtype=T.dtype)
+        # guard: with no valid correspondences H ~ lambda*I and g = 0
+        xi = solve_psd(H, -g)
+        xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
+        T_new = se3_exp(xi) @ T
+        return (T_new, it + 1, jnp.sum(jnp.abs(xi)))
+
+    init = (T0, jnp.int32(0), jnp.asarray(jnp.inf, src_xyz.dtype))
+    T, iters, delta = jax.lax.while_loop(cond, body, init)
+
+    _, _, cost, wsum, d2sum = it_fn(T)
+    fitness = d2sum / jnp.maximum(wsum, 1.0)
+    converged = (delta <= cfg.transformation_epsilon) | (iters >= cfg.max_iterations)
+    return GicpResult(transform=T, converged=converged, fitness=fitness,
+                      iterations=iters)

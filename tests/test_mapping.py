@@ -166,3 +166,63 @@ class TestDelete:
         # re-insert the same points: deleted region repopulates fully
         m = voxel_map_insert(m, jnp.asarray(pts))
         assert int(m.num_voxels) == n0
+
+
+class TestVoxelStats:
+    def test_gaussian_matches_oracle(self, rng):
+        # many points into few voxels: per-voxel mean/cov match numpy
+        pts = rng.uniform(0, 2, (400, 3)).astype(np.float32)  # 4^3 voxels at 0.5
+        m = voxel_map_create(capacity=1 << 10, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        coords = np.floor(pts / 0.5).astype(np.int64)
+        occ = np.asarray(m.occupied) > 0.5
+        keys = np.asarray(m.keys)[occ]
+        means = np.asarray(m.voxel_means())[occ]
+        covs = np.asarray(m.voxel_covs_packed(min_count=1.0))[occ]
+        ns = np.asarray(m.stat_n)[occ]
+        for k, mu, c6, n in zip(map(tuple, keys), means, covs, ns):
+            sel = (coords == np.asarray(k)).all(-1)
+            assert int(n) == sel.sum()
+            np.testing.assert_allclose(mu, pts[sel].mean(0), atol=1e-4)
+            ref_cov = np.cov(pts[sel].T, bias=True) if sel.sum() > 1 else None
+            if sel.sum() >= 3:
+                np.testing.assert_allclose(c6[0], ref_cov[0, 0], atol=1e-3)
+                np.testing.assert_allclose(c6[3], ref_cov[0, 1], atol=1e-3)
+
+    def test_stats_accumulate_across_inserts(self, rng):
+        a = rng.uniform(0, 0.5, (50, 3)).astype(np.float32)
+        b = rng.uniform(0, 0.5, (70, 3)).astype(np.float32)
+        m = voxel_map_create(capacity=1 << 8, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(a))
+        m = voxel_map_insert(m, jnp.asarray(b))
+        occ = np.asarray(m.occupied) > 0.5
+        n = np.asarray(m.stat_n)[occ]
+        assert int(n.sum()) == 120
+        mu = np.asarray(m.voxel_means())[occ][0]
+        np.testing.assert_allclose(mu, np.concatenate([a, b]).mean(0), atol=1e-4)
+
+    def test_thin_voxels_isotropic_fallback(self):
+        m = voxel_map_create(capacity=1 << 8, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray([[0.1, 0.1, 0.1]], dtype=jnp.float32))
+        occ = np.asarray(m.occupied) > 0.5
+        c6 = np.asarray(m.voxel_covs_packed(min_count=3.0))[occ][0]
+        np.testing.assert_allclose(c6, [0.01, 0.01, 0.01, 0, 0, 0], atol=1e-7)
+
+    def test_sector_search_with_stats(self, rng):
+        from icp4dradar_tpu.mapping.voxel_hash import (
+            voxel_map_sector_search_with_stats,
+        )
+
+        pts = rng.uniform(-10, 10, (300, 3)).astype(np.float32)
+        m = voxel_map_create(capacity=1 << 10, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        out, mask, cnt, means, covs = voxel_map_sector_search_with_stats(
+            m, jnp.zeros(3), 20.0, jnp.asarray(0.0), 180.0, 512
+        )
+        assert int(cnt) == int(m.num_voxels)
+        got = np.asarray(means)[np.asarray(mask) > 0.5]
+        # single-point voxels: mean == stored point
+        stored = np.asarray(out)[np.asarray(mask) > 0.5]
+        n_per = np.asarray(m.stat_n)[np.asarray(m.occupied) > 0.5]
+        if (n_per == 1).all():
+            np.testing.assert_allclose(got, stored, atol=1e-5)

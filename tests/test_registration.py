@@ -111,3 +111,66 @@ class TestGicp:
         src = tgt + rng.normal(0, 0.005, tgt.shape).astype(np.float32)
         res = gicp_align(jnp.asarray(src), jnp.asarray(tgt))
         assert float(res.fitness) < 1e-3
+
+
+class TestVgicp:
+    def test_fused_matches_xla(self, rng):
+        from icp4dradar_tpu.geom import se3_exp
+        from icp4dradar_tpu.ops.vgicp_fused import (
+            radar_point_covariances_packed,
+            vgicp_iteration,
+            vgicp_iteration_xla,
+        )
+
+        src = rng.normal(size=(160, 3)).astype(np.float32) * 10 + np.array([20, 0, 0], np.float32)
+        tgt = rng.normal(size=(250, 3)).astype(np.float32) * 10 + np.array([20, 0, 0], np.float32)
+        sm = (rng.uniform(size=160) > 0.1).astype(np.float32)
+        tm = (rng.uniform(size=250) > 0.2).astype(np.float32)
+        scov = np.asarray(radar_point_covariances_packed(jnp.asarray(src)))
+        tcov = np.tile(np.array([0.05, 0.05, 0.01, 0, 0, 0], np.float32), (250, 1))
+        T = se3_exp(jnp.asarray([0.1, -0.1, 0.02, 0.01, 0.0, 0.05], dtype=jnp.float32))
+        args = (T, jnp.asarray(src), jnp.asarray(sm), jnp.asarray(scov),
+                jnp.asarray(tgt), jnp.asarray(tcov), jnp.asarray(tm))
+        H1, g1, c1, w1, d1 = vgicp_iteration_xla(*args, max_correspondence_dist=5.0)
+        H2, g2, c2, w2, d2_ = vgicp_iteration(*args, max_correspondence_dist=5.0,
+                                              ts=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=2e-3, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=2e-3, atol=1e-1)
+        np.testing.assert_allclose(float(c2), float(c1), rtol=2e-3)
+
+    def test_vgicp_align_recovers_pose(self, rng):
+        from icp4dradar_tpu.config import GicpConfig
+        from icp4dradar_tpu.geom import se3_apply, se3_exp, se3_inverse, se3_log
+        from icp4dradar_tpu.registration import vgicp_align
+
+        # voxel distributions sampled from a structured world
+        world = make_structured_cloud(rng, n=1200)
+        covs = np.tile(np.array([0.02, 0.02, 0.005, 0, 0, 0], np.float32), (1200, 1))
+        T_true = se3_exp(jnp.asarray([0.4, -0.2, 0.05, 0.02, -0.01, 0.06],
+                                     dtype=jnp.float32))
+        # sensor-frame scan = T_true^-1 applied to a subset + noise
+        scan = np.array(se3_apply(se3_inverse(T_true), jnp.asarray(world[:800])))
+        scan += rng.normal(0, 0.02, scan.shape).astype(np.float32)
+        # initialize near identity: vgicp must pull the pose to T_true
+        res = vgicp_align(
+            jnp.asarray(scan), jnp.asarray(world), jnp.asarray(covs),
+            cfg=GicpConfig(max_iterations=30, max_correspondence_dist=3.0),
+        )
+        err = float(jnp.abs(se3_log(se3_inverse(res.transform) @ T_true)).max())
+        assert err < 0.05, err
+        assert bool(res.converged)
+
+    def test_empty_submap_identity(self, rng):
+        from icp4dradar_tpu.config import GicpConfig
+        from icp4dradar_tpu.registration import vgicp_align
+
+        scan = rng.normal(size=(64, 3)).astype(np.float32)
+        tgt = np.zeros((32, 3), np.float32)
+        covs = np.tile(np.array([1, 1, 1, 0, 0, 0], np.float32), (32, 1))
+        res = vgicp_align(
+            jnp.asarray(scan), jnp.asarray(tgt), jnp.asarray(covs),
+            tgt_mask=jnp.zeros(32),
+            cfg=GicpConfig(max_iterations=5),
+        )
+        np.testing.assert_allclose(np.asarray(res.transform), np.eye(4), atol=1e-4)
