@@ -117,7 +117,9 @@ class VoxelMapConfig:
 
     voxel_size: float = 0.5           # ref set_downsample_param(0.5), radar_odometry.cpp:348
     capacity: int = 1 << 18           # hash table slots (voxels)
-    max_probes: int = 16              # linear-probe bound
+    # linear-probe bound: at <15% load factor probe chains are short; each
+    # extra probe round costs ~0.6 ms/scan in C-sized scatter temps on TPU
+    max_probes: int = 8
     submap_max_points: int = 1 << 14  # fixed-size sector-query output
     sector_radius: float = 80.0       # ref RADAR_RADIUS (radar_odometry.cpp:36)
     sector_half_angle_deg: float = 60.0  # ref ikd_Tree.cpp:1114-1117 heading window

@@ -59,7 +59,7 @@ class VoxelHashMap:
     stat_sum: jnp.ndarray    # (C, 3) f32 sum of points
     stat_sq: jnp.ndarray     # (C, 6) f32 sum of [xx,yy,zz,xy,xz,yz]
     voxel_size: float = struct.field(pytree_node=False, default=0.5)
-    max_probes: int = struct.field(pytree_node=False, default=16)
+    max_probes: int = struct.field(pytree_node=False, default=8)
 
     @property
     def capacity(self) -> int:
@@ -96,7 +96,7 @@ class VoxelHashMap:
 
 
 def voxel_map_create(
-    capacity: int = 1 << 18, voxel_size: float = 0.5, max_probes: int = 16,
+    capacity: int = 1 << 18, voxel_size: float = 0.5, max_probes: int = 8,
     dtype=jnp.float32,
 ) -> VoxelHashMap:
     if capacity & (capacity - 1):
