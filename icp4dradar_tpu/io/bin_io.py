@@ -46,6 +46,19 @@ def write_radar_bin(path: str, points: np.ndarray) -> None:
     points.tofile(path)
 
 
+def read_radar_feature_points(path: str) -> np.ndarray:
+    """Read a whitespace text file of 3-column feature points -> (N, 3).
+
+    Parity with the reference's `read_radar_featurePoint`
+    (src/radar_odometry.cpp:177-203: line-counted space-separated floats);
+    missing file returns an empty array like its empty-buffer branch.
+    """
+    if not os.path.exists(path):
+        return np.zeros((0, 3), dtype=np.float32)
+    out = np.loadtxt(path, dtype=np.float32, ndmin=2)
+    return out[:, :3] if out.size else np.zeros((0, 3), dtype=np.float32)
+
+
 def count_frames(dataset_folder: str) -> int:
     """Number of consecutive frames starting at 0 (the reference stops at the
     first missing next-frame, src/iterative_closest_point.cpp:711-720)."""

@@ -25,3 +25,7 @@ from icp4dradar_tpu.models.scan_to_map import (  # noqa: F401
 from icp4dradar_tpu.models.submap import SubmapAccumulator  # noqa: F401
 from icp4dradar_tpu.models.local_map import local_map_refinement, build_windows  # noqa: F401
 from icp4dradar_tpu.models.streaming import OdometrySession  # noqa: F401
+from icp4dradar_tpu.models.pose_graph_odometry import (  # noqa: F401
+    PoseGraphOdometryResult,
+    run_pose_graph_odometry,
+)

@@ -1,0 +1,174 @@
+"""Odometry + keyframe pose-graph back-end (BASELINE.md measurement
+config 4): scan-to-scan front-end, keyframe graph with odometry-chain and
+proximity loop-closure factors, batched SE(3) Gauss-Newton refinement —
+the subsystem the reference links Ceres for but never runs
+(include/radarFactor.hpp, SURVEY.md §3.5).
+
+Flow:
+1. vmapped scan-to-scan odometry (models/scan_to_scan.py)
+2. keyframes every `keyframe_every` frames; chain factors = composed
+   relative transforms between consecutive keyframes (high weight)
+3. loop-closure candidates: keyframe pairs spatially near but temporally
+   distant under the odometry estimate (fixed top-M budget); each verified
+   by ICP between the keyframe scans, gated on fitness
+4. distributed-or-local pose-graph GN (graph/, parallel/) over the factors
+5. the full trajectory re-anchors rigidly to its segment's refined keyframe
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp4dradar_tpu.config import PipelineConfig, PoseGraphConfig
+from icp4dradar_tpu.graph import PoseGraph, RelPoseFactors, optimize_pose_graph
+from icp4dradar_tpu.io.scan import RadarScan
+from icp4dradar_tpu.models.scan_to_scan import run_scan_to_scan
+from icp4dradar_tpu.registration.icp import icp_point_to_point
+
+
+@dataclass
+class PoseGraphOdometryResult:
+    poses: np.ndarray           # (F,4,4) refined trajectory
+    odom_poses: np.ndarray      # (F,4,4) raw odometry trajectory
+    keyframe_indices: np.ndarray  # (K,)
+    keyframe_poses: np.ndarray  # (K,4,4) refined
+    num_loop_closures: int
+    cost: float
+
+
+def _compose_range(T_rel: np.ndarray, a: int, b: int) -> np.ndarray:
+    """prod T_rel[a+1..b] — relative transform keyframe a -> b from the
+    per-frame odometry increments."""
+    T = np.eye(4, dtype=np.float32)
+    for k in range(a + 1, b + 1):
+        T = T @ T_rel[k]
+    return T
+
+
+def run_pose_graph_odometry(
+    scans: RadarScan,
+    cfg: PipelineConfig = PipelineConfig(),
+    keyframe_every: int = 5,
+    loop_radius: float = 5.0,
+    min_loop_gap: int = 20,
+    max_loop_candidates: int = 16,
+    loop_gated_fitness_max: float = 0.5,
+    loop_min_inlier_fraction: float = 0.3,
+    odom_weight: float = 100.0,
+    loop_weight: float = 10.0,
+    mesh=None,
+) -> PoseGraphOdometryResult:
+    """Full pipeline. Pass a `mesh` to run the GN back-end distributed
+    (parallel.distributed_optimize_pose_graph); None = single device."""
+    F = scans.xyz.shape[0]
+    outs = run_scan_to_scan(scans, cfg, use_doppler_prior=True)
+    T_rel = np.asarray(outs.icp_transform)  # (F,4,4)
+    odom = np.asarray(outs.world_T)
+
+    kf = np.arange(0, F, keyframe_every)
+    K = len(kf)
+    kf_odom = odom[kf]
+
+    # odometry chain factors between consecutive keyframes
+    chain_T = np.stack([
+        _compose_range(T_rel, int(kf[i]), int(kf[i + 1])) for i in range(K - 1)
+    ]) if K > 1 else np.zeros((0, 4, 4), np.float32)
+    fi = list(range(K - 1))
+    fj = list(range(1, K))
+    f_T = list(chain_T)
+    f_w = [odom_weight] * (K - 1)
+
+    # ---- loop-closure candidates: near in space, far in time ----
+    d = np.linalg.norm(
+        kf_odom[:, None, :3, 3] - kf_odom[None, :, :3, 3], axis=-1
+    )
+    gap = np.abs(kf[:, None] - kf[None, :])
+    cand = (d < loop_radius) & (gap >= min_loop_gap)
+    cand = np.triu(cand, 1)
+    pairs = np.argwhere(cand)
+    if len(pairs) > max_loop_candidates:
+        order = np.argsort(d[pairs[:, 0], pairs[:, 1]])
+        pairs = pairs[order[:max_loop_candidates]]
+
+    n_loops = 0
+    if len(pairs):
+        # verify each candidate with ICP between the keyframe scans,
+        # initialized at the odometry-implied relative transform
+        src_idx = kf[pairs[:, 1]]
+        tgt_idx = kf[pairs[:, 0]]
+        init_T = jnp.asarray(np.stack([
+            np.linalg.inv(odom[a]) @ odom[b]
+            for a, b in zip(tgt_idx, src_idx)
+        ]))
+        src = jax.tree.map(lambda x: x[jnp.asarray(src_idx)], scans)
+        tgt = jax.tree.map(lambda x: x[jnp.asarray(tgt_idx)], scans)
+
+        # dedicated loop-closure ICP: gated correspondences (partial FoV
+        # overlap between revisits) and more iterations than the front-end
+        loop_cfg = dataclasses.replace(
+            cfg.icp, max_iterations=max(cfg.icp.max_iterations, 30),
+            max_correspondence_dist=min(cfg.icp.max_correspondence_dist, 2.0),
+            transformation_epsilon=1e-5,
+        )
+
+        def one(s, t, T0):
+            r = icp_point_to_point(
+                s.xyz, t.xyz, s.mask, t.mask, init_transform=T0, cfg=loop_cfg
+            )
+            return r.transform, r.gated_fitness, r.inlier_fraction
+
+        T_loop, fit, frac = jax.vmap(one)(src, tgt, init_T)
+        T_loop = np.asarray(T_loop)
+        fit = np.asarray(fit)
+        frac = np.asarray(frac)
+        for m in range(len(pairs)):
+            if (fit[m] < loop_gated_fitness_max
+                    and frac[m] > loop_min_inlier_fraction):
+                fi.append(int(pairs[m, 0]))
+                fj.append(int(pairs[m, 1]))
+                f_T.append(T_loop[m])
+                f_w.append(loop_weight)
+                n_loops += 1
+
+    result_cost = 0.0
+    if len(fi):
+        rel = RelPoseFactors.build(
+            np.asarray(fi, np.int32), np.asarray(fj, np.int32),
+            np.stack(f_T).astype(np.float32), np.asarray(f_w, np.float32),
+        )
+        graph = PoseGraph(poses=jnp.asarray(kf_odom), rel=rel)
+        if mesh is not None:
+            from icp4dradar_tpu.parallel import distributed_optimize_pose_graph
+
+            graph, cost = distributed_optimize_pose_graph(
+                graph, mesh, cfg.pose_graph
+            )
+        else:
+            graph, cost = optimize_pose_graph(graph, cfg.pose_graph)
+        kf_refined = np.asarray(graph.poses)
+        result_cost = float(cost)
+    else:
+        kf_refined = kf_odom
+
+    # ---- re-anchor every frame to its segment's refined keyframe ----
+    poses = odom.copy()
+    for i in range(K):
+        lo = int(kf[i])
+        hi = int(kf[i + 1]) if i + 1 < K else F
+        correction = kf_refined[i] @ np.linalg.inv(odom[lo])
+        poses[lo:hi] = correction @ odom[lo:hi]
+
+    return PoseGraphOdometryResult(
+        poses=poses,
+        odom_poses=odom,
+        keyframe_indices=kf,
+        keyframe_poses=kf_refined,
+        num_loop_closures=n_loops,
+        cost=result_cost,
+    )

@@ -60,7 +60,8 @@ def build_scans(args):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", choices=["scan_to_scan", "scan_to_map"],
+    p.add_argument("--mode",
+                   choices=["scan_to_scan", "scan_to_map", "pose_graph"],
                    default="scan_to_scan")
     p.add_argument("--dataset", help=".bin sequence directory (data/radar_pointcloud_k.bin)")
     p.add_argument("--bag", help="ROS1 rosbag path (reference radar_odometry input)")
@@ -123,7 +124,17 @@ def main(argv=None) -> int:
     log = MetricsLogger(os.path.join(args.out, "metrics.jsonl"), echo=False)
 
     t0 = time.time()
-    if args.mode == "scan_to_scan":
+    if args.mode == "pose_graph":
+        from icp4dradar_tpu.models import run_pose_graph_odometry
+
+        res = run_pose_graph_odometry(scans, cfg)
+        elapsed = time.time() - t0
+        poses = res.poses
+        write_rt_txt(os.path.join(args.out, "radar_odometry.txt"), poses)
+        write_rt_txt(os.path.join(args.out, "odometry_raw.txt"), res.odom_poses)
+        log.log("pose_graph", loop_closures=res.num_loop_closures,
+                keyframes=int(len(res.keyframe_indices)), cost=res.cost)
+    elif args.mode == "scan_to_scan":
         outs = run_scan_to_scan(
             scans, cfg, use_doppler_prior=args.doppler_prior,
             use_static_points_only=args.static_only,

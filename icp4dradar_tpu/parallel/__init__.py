@@ -14,3 +14,8 @@ from icp4dradar_tpu.parallel.batch import (  # noqa: F401
     batched_preprocess,
     batched_icp_pairs,
 )
+from icp4dradar_tpu.parallel.sharded_map import (  # noqa: F401
+    sharded_map_create,
+    sharded_map_insert,
+    sharded_sector_search_with_stats,
+)

@@ -30,10 +30,12 @@ from icp4dradar_tpu.ops.icp_fused import (
 
 @struct.dataclass
 class IcpResult:
-    transform: jnp.ndarray   # (4,4) T: src -> tgt
-    converged: jnp.ndarray   # () bool (transform-epsilon reached)
-    fitness: jnp.ndarray     # () mean squared correspondence distance
-    iterations: jnp.ndarray  # () int32
+    transform: jnp.ndarray        # (4,4) T: src -> tgt
+    converged: jnp.ndarray        # () bool (transform-epsilon reached)
+    fitness: jnp.ndarray          # () mean squared distance, ungated (PCL)
+    gated_fitness: jnp.ndarray    # () mean squared distance within the gate
+    inlier_fraction: jnp.ndarray  # () gated correspondences / valid points
+    iterations: jnp.ndarray       # () int32
 
 
 def icp_point_to_point(
@@ -84,9 +86,16 @@ def icp_point_to_point(
     # the final transform (getFitnessScore default: no max_range gate).
     fit_moments = moments_fn(T, 1e8)
     _, fitness = moments_to_transform(fit_moments, src_xyz.dtype)
+    # gated variants for overlap-aware acceptance (loop-closure validation):
+    # with partial FoV overlap the ungated mean is dominated by unmatched
+    # regions even when the aligned overlap is tight.
+    gm = moments_fn(T, cfg.max_correspondence_dist)
+    _, gated_fitness = moments_to_transform(gm, src_xyz.dtype)
+    inlier_fraction = gm[0] / jnp.maximum(jnp.sum(src_mask), 1.0)
     converged = delta <= jnp.maximum(cfg.transformation_epsilon, 1e-12)
     # PCL reports converged=true when it ran to completion; mirror by also
     # accepting the iteration cap.
     converged = converged | (iters >= cfg.max_iterations)
     return IcpResult(transform=T, converged=converged, fitness=fitness,
-                     iterations=iters)
+                     gated_fitness=gated_fitness,
+                     inlier_fraction=inlier_fraction, iterations=iters)
