@@ -160,6 +160,10 @@ def run_scan_to_scan(
     T_rel, fitness, converged = jax.vmap(register)(
         scans, prev, statics, statics_prev, velocities
     )
+    # frame 0 pairs with itself: exactly identity (ref order==0 behavior) —
+    # a prior-seeded ICP can otherwise leave a residual that shifts the
+    # whole trajectory's anchor
+    T_rel = T_rel.at[0].set(jnp.eye(4, dtype=T_rel.dtype))
 
     # Phase 3: pose accumulation T_k = T_1 ... T_k is an associative prefix
     # product — parallel scan instead of a serial chain.

@@ -168,7 +168,11 @@ def icp_iteration_moments_xla(
 def moments_to_transform(moments: jnp.ndarray, dtype=jnp.float32):
     """(17,) moments -> (dT (4,4) Horn best-fit of p onto q, mean d2).
 
-    dT is the incremental correction: apply as T <- dT @ T."""
+    dT is the incremental correction: apply as T <- dT @ T. With no valid
+    correspondences (weight sum ~ 0) dT must be the identity — the Davenport
+    power iteration on a zero matrix would otherwise return an arbitrary
+    rotation from its start vector.
+    """
     from icp4dradar_tpu.geom.kabsch import _rotation_from_cross_covariance
     from icp4dradar_tpu.geom.se3 import se3_from_rt
 
@@ -180,4 +184,7 @@ def moments_to_transform(moments: jnp.ndarray, dtype=jnp.float32):
     R = _rotation_from_cross_covariance(H)
     t = mu_q - R @ mu_p
     mean_d2 = moments[16] / sw
-    return se3_from_rt(R.astype(dtype), t.astype(dtype)), mean_d2
+    degenerate = moments[0] < 1.0
+    dT = jnp.where(degenerate, jnp.eye(4, dtype=dtype),
+                   se3_from_rt(R.astype(dtype), t.astype(dtype)))
+    return dT, jnp.where(degenerate, jnp.asarray(0.0, dtype), mean_d2)

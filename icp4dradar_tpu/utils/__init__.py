@@ -10,7 +10,7 @@ from icp4dradar_tpu.utils.trajectory import (  # noqa: F401
     write_tum,
 )
 from icp4dradar_tpu.utils.logging import MetricsLogger  # noqa: F401
-from icp4dradar_tpu.utils.profiling import StageTimer  # noqa: F401
+from icp4dradar_tpu.utils.profiling import StageTimer, profile_trace  # noqa: F401
 from icp4dradar_tpu.utils.checkpoint import save_checkpoint, load_checkpoint  # noqa: F401
-from icp4dradar_tpu.utils.viz import write_ply, export_map_ply, write_html_viewer  # noqa: F401
+from icp4dradar_tpu.utils.viz import write_ply, export_map_ply, write_html_viewer, voxel_downsample  # noqa: F401
 from icp4dradar_tpu.utils.debug import checked, assert_finite_tree, validate_scan  # noqa: F401

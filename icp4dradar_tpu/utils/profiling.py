@@ -57,3 +57,10 @@ class StageTimer:
             }
             for k in self.totals
         }
+
+
+def profile_trace(log_dir: str):
+    """Context manager wrapping jax.profiler.trace: captures a device trace
+    viewable in TensorBoard/Perfetto (the deep-profiling hook the reference
+    entirely lacks — SURVEY.md §5 tracing row)."""
+    return jax.profiler.trace(log_dir)

@@ -94,3 +94,20 @@ if(gt)path(gt,'#fa4');path(est,'#4af');
 </script></body></html>"""
     with open(path, "w") as f:
         f.write(html)
+
+
+def voxel_downsample(points: np.ndarray, leaf: float = 0.5) -> np.ndarray:
+    """Voxel-grid downsample of an arbitrary cloud: one centroid per leaf
+    (the reference's display-map pcl::VoxelGrid with 0.5 m leaves,
+    src/radar_odometry.cpp:426-429). Host-side numpy (output size is data
+    dependent; display/export concern, not a jit path)."""
+    pts = np.asarray(points, dtype=np.float32)
+    if len(pts) == 0:
+        return pts
+    coords = np.floor(pts / leaf).astype(np.int64)
+    # unique voxel ids via lexicographic encoding
+    _, inv, counts = np.unique(coords, axis=0, return_inverse=True,
+                               return_counts=True)
+    sums = np.zeros((len(counts), 3), np.float64)
+    np.add.at(sums, inv, pts)
+    return (sums / counts[:, None]).astype(np.float32)

@@ -174,3 +174,28 @@ class TestVgicp:
             cfg=GicpConfig(max_iterations=5),
         )
         np.testing.assert_allclose(np.asarray(res.transform), np.eye(4), atol=1e-4)
+
+
+class TestIcpDegenerate:
+    def test_all_masked_target_yields_identity(self, rng):
+        # no valid correspondences: ICP must return identity, not a random
+        # rotation from the degenerate Horn solve
+        src = rng.normal(size=(64, 3)).astype(np.float32)
+        tgt = rng.normal(size=(64, 3)).astype(np.float32)
+        res = icp_point_to_point(
+            jnp.asarray(src), jnp.asarray(tgt),
+            tgt_mask=jnp.zeros(64),
+            cfg=IcpConfig(max_iterations=5),
+        )
+        np.testing.assert_allclose(np.asarray(res.transform), np.eye(4),
+                                   atol=1e-6)
+
+    def test_empty_src_identity(self, rng):
+        tgt = rng.normal(size=(32, 3)).astype(np.float32)
+        res = icp_point_to_point(
+            jnp.asarray(np.zeros((16, 3), np.float32)), jnp.asarray(tgt),
+            src_mask=jnp.zeros(16),
+            cfg=IcpConfig(max_iterations=5),
+        )
+        np.testing.assert_allclose(np.asarray(res.transform), np.eye(4),
+                                   atol=1e-6)

@@ -195,3 +195,23 @@ class TestDebugGuards:
             assert False
         except Exception:
             pass
+
+
+class TestVoxelDownsample:
+    def test_one_centroid_per_leaf(self, rng):
+        from icp4dradar_tpu.utils import voxel_downsample
+
+        pts = rng.uniform(0, 2, (500, 3)).astype(np.float32)
+        out = voxel_downsample(pts, leaf=0.5)
+        coords = np.floor(pts / 0.5).astype(np.int64)
+        n_vox = len(np.unique(coords, axis=0))
+        assert out.shape == (n_vox, 3)
+        # centroids stay inside their voxel
+        out_coords = np.floor(out / 0.5).astype(np.int64)
+        assert set(map(tuple, out_coords)) == set(map(tuple, coords))
+
+    def test_empty(self):
+        from icp4dradar_tpu.utils import voxel_downsample
+
+        out = voxel_downsample(np.zeros((0, 3), np.float32))
+        assert out.shape == (0, 3)
