@@ -27,6 +27,15 @@ BASELINE_SCANS_PER_SEC = 100.0  # reference frame-loop rate cap
 def main() -> int:
     import jax
 
+    # persistent compilation cache: repeated bench invocations (the driver
+    # runs this every round) skip the slow tunnel compile
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/icp4dradar_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from icp4dradar_tpu.config import PipelineConfig
     from icp4dradar_tpu.io import SyntheticSequence
     from icp4dradar_tpu.io.scan import stack_scans
