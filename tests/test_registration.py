@@ -199,3 +199,30 @@ class TestIcpDegenerate:
         )
         np.testing.assert_allclose(np.asarray(res.transform), np.eye(4),
                                    atol=1e-6)
+
+
+class TestRadarPointCovariances:
+    def test_forward_point_spherical_frame(self):
+        from icp4dradar_tpu.ops.vgicp_fused import radar_point_covariances_packed
+
+        # point straight ahead at 10 m: radial = x, azimuth tangent = y,
+        # elevation tangent = z
+        c6 = radar_point_covariances_packed(
+            jnp.asarray([[10.0, 0.0, 0.0]]), sigma_r=0.1, sigma_az=0.01,
+            sigma_el=0.02,
+        )
+        c = np.asarray(c6)[0]
+        np.testing.assert_allclose(c[0], 0.01, rtol=1e-5)        # xx = sr^2
+        np.testing.assert_allclose(c[1], (10 * 0.01) ** 2, rtol=1e-5)
+        np.testing.assert_allclose(c[2], (10 * 0.02) ** 2, rtol=1e-5)
+        np.testing.assert_allclose(c[3:], 0.0, atol=1e-7)
+
+    def test_cross_range_grows_with_range(self):
+        from icp4dradar_tpu.ops.vgicp_fused import radar_point_covariances_packed
+
+        near = np.asarray(radar_point_covariances_packed(
+            jnp.asarray([[5.0, 0.0, 0.0]])))[0]
+        far = np.asarray(radar_point_covariances_packed(
+            jnp.asarray([[50.0, 0.0, 0.0]])))[0]
+        assert far[1] > near[1] * 50     # azimuth variance ~ r^2
+        np.testing.assert_allclose(far[0], near[0], rtol=1e-5)  # radial const
