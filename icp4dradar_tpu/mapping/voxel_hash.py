@@ -240,7 +240,18 @@ def voxel_map_insert(
                     sn=sn, ssum=ssum, ssq=ssq,
                     alive=alive, offset=offset), None
 
-    state, _ = jax.lax.scan(round_fn, state, None, length=vmap.max_probes)
+    # early exit: most batches resolve in 1-2 rounds (low load factor);
+    # each round touches C-sized arrays, so skipping dead rounds is ~4x
+    def cond_fn(carry):
+        state, rnd = carry
+        return (rnd < vmap.max_probes) & jnp.any(state["alive"])
+
+    def body_fn(carry):
+        state, rnd = carry
+        state, _ = round_fn(state, None)
+        return (state, rnd + 1)
+
+    state, _ = jax.lax.while_loop(cond_fn, body_fn, (state, jnp.int32(0)))
     return vmap.replace(
         keys=state["keys"], points=state["points"],
         intensity=state["inten"], occupied=state["occ"],

@@ -175,8 +175,19 @@ def sharded_map_insert(
             offset = offset + (advance & alive).astype(jnp.int32)
             return (local, alive, offset), None
 
-        (local, _, _), _ = jax.lax.scan(round_fn, state, None,
-                                        length=max_probes)
+        # early exit on global liveness (alive is psum-synchronized)
+        def cond_fn(carry):
+            (local, alive, offset), rnd = carry
+            return (rnd < max_probes) & jnp.any(alive)
+
+        def body_fn(carry):
+            st, rnd = carry
+            st, _ = round_fn(st, None)
+            return (st, rnd + 1)
+
+        (local, _, _), _ = jax.lax.while_loop(
+            cond_fn, body_fn, (state, jnp.int32(0))
+        )
         return local_vm.replace(
             keys=local[0], points=local[1], intensity=local[2],
             occupied=local[3], stat_n=local[4], stat_sum=local[5],
