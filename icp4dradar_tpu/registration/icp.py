@@ -1,13 +1,15 @@
-"""Point-to-point ICP: tiled NN correspondence + weighted Kabsch in a
-jittable loop.
+"""Point-to-point ICP on the fused moments kernel.
 
 Behavioral spec: PCL `pcl::IterativeClosestPoint` as used by the reference
 (src/iterative_closest_point.cpp:508-521) — default 10 iterations, no
-correspondence gating, SVD transform estimation, fitness = mean squared
-correspondence distance (`getFitnessScore`, :516, :520). The per-iteration
-NN search runs as one MXU-tiled kernel instead of a kd-tree
-(ops/knn.py), and the loop is a lax.while_loop with a transform-epsilon
-early exit (SURVEY.md §7 step 3).
+correspondence gating, best-fit rigid update each iteration, fitness = mean
+squared correspondence distance (`getFitnessScore`, :516, :520).
+
+Each iteration is ONE Pallas pass (ops/icp_fused.py): pose transform + NN
+correspondence + weighted moment accumulation, with the rigid update
+recovered from 17 scalars via Horn's quaternion method — no kd-tree, no
+gathers, no SVD (SURVEY.md §7 step 3; docs/PERFORMANCE.md). The loop is a
+lax.while_loop with a transform-epsilon early exit.
 """
 
 from __future__ import annotations
@@ -19,8 +21,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from icp4dradar_tpu.config import IcpConfig
-from icp4dradar_tpu.geom import kabsch_umeyama, se3_apply, se3_identity, se3_log
-from icp4dradar_tpu.ops import nearest_neighbor, nearest_neighbor_with_coords
+from icp4dradar_tpu.geom import se3_identity, se3_log
 from icp4dradar_tpu.ops.icp_fused import (
     icp_iteration_moments,
     icp_iteration_moments_xla,
