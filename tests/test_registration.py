@@ -226,3 +226,14 @@ class TestRadarPointCovariances:
             jnp.asarray([[50.0, 0.0, 0.0]])))[0]
         assert far[1] > near[1] * 50     # azimuth variance ~ r^2
         np.testing.assert_allclose(far[0], near[0], rtol=1e-5)  # radial const
+
+
+class TestGicpDegenerate:
+    def test_empty_target_identity(self, rng):
+        # kNN GICP path must also stay at identity with no valid targets
+        src = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+        tgt = jnp.asarray(np.zeros((16, 3), np.float32))
+        res = gicp_align(src, tgt, tgt_mask=jnp.zeros(16),
+                         cfg=GicpConfig(max_iterations=3))
+        np.testing.assert_allclose(np.asarray(res.transform), np.eye(4),
+                                   atol=1e-3)
