@@ -19,11 +19,15 @@ ikd_Tree.cpp:169-351) has no counterpart: map updates are pure functions of
 (map, scan) -> map, so the entire class of races is unrepresentable
 (SURVEY.md §5 race-detection call-out).
 
-Insertion uses R rounds of scatter-min arbitration: every candidate point
-carries its own probe offset; in each round candidates either compete for
-their voxel's slot (nearest-to-center wins, including the incumbent), claim
-an empty slot, or advance to the next probe slot on hash collision. All
-rounds are fixed-shape vector ops — no data-dependent control flow.
+Insertion first dedupes the batch per voxel with ONE lexicographic sort
+(voxel id, center distance): the per-voxel winner becomes the sole
+candidate and the batch's Gaussian moments are segment-summed at the
+winner row. Probe rounds then operate on batch-sized gathers/scatters
+only — each round a candidate either competes with its voxel's incumbent
+(nearest-to-center wins), claims an empty slot (scatter-min arbitrated
+against other voxels hashing there), or advances its probe offset. An
+early-exit while_loop skips rounds once every candidate has resolved;
+typical batches finish in 1-2 rounds.
 """
 
 from __future__ import annotations
@@ -148,114 +152,155 @@ def voxel_map_insert(
         intensity = jnp.zeros(n, dtype=xyz.dtype)
     C = vmap.capacity
     L = vmap.voxel_size
+    ft = xyz.dtype
+    big = jnp.asarray(1e30, ft)
+    iota = jnp.arange(n, dtype=jnp.int32)
 
+    valid = mask > 0.5
+    xyz = jnp.where(valid[:, None], xyz, 0.0)      # padded rows may be junk
+    intensity = jnp.where(valid, intensity, 0.0)
     coords = _voxel_coords(xyz, L)
     h0 = _hash(coords, C)
     d2c = _center_dist2(xyz, coords, L)
-    big = jnp.asarray(1e30, xyz.dtype)
-    idx_n = jnp.arange(n, dtype=jnp.int32)
 
-    # per-point raw second moments for the voxel Gaussian accumulators
-    sq6 = jnp.stack([
-        xyz[:, 0] * xyz[:, 0], xyz[:, 1] * xyz[:, 1], xyz[:, 2] * xyz[:, 2],
-        xyz[:, 0] * xyz[:, 1], xyz[:, 0] * xyz[:, 2], xyz[:, 1] * xyz[:, 2],
-    ], axis=-1)
-
-    state = dict(
-        keys=vmap.keys, points=vmap.points, inten=vmap.intensity,
-        occ=vmap.occupied,
-        sn=vmap.stat_n, ssum=vmap.stat_sum, ssq=vmap.stat_sq,
-        alive=mask > 0.5,
-        offset=jnp.zeros(n, dtype=jnp.int32),
+    # ---- phase 1: ONE lexicographic sort dedupes the batch per voxel.
+    # Sort by (hash, voxel coords, center distance); invalid rows carry the
+    # out-of-range hash C so they form their own runs at the end. lax.sort is
+    # stable, so equal-distance candidates keep lowest-original-index order
+    # (the reference's tie-break).
+    h_key = jnp.where(valid, h0, jnp.int32(C))
+    c_key = jnp.where(valid[:, None], coords, _EMPTY)
+    d_key = jnp.where(valid, d2c, big)
+    h_s, c0_s, c1_s, c2_s, d_s, perm = jax.lax.sort(
+        (h_key, c_key[:, 0], c_key[:, 1], c_key[:, 2], d_key, iota),
+        num_keys=5,
     )
+    c_s = jnp.stack([c0_s, c1_s, c2_s], axis=-1)
+    payload = jnp.concatenate(
+        [xyz, intensity[:, None], valid.astype(ft)[:, None],
+         jnp.stack([
+             xyz[:, 0] * xyz[:, 0], xyz[:, 1] * xyz[:, 1],
+             xyz[:, 2] * xyz[:, 2], xyz[:, 0] * xyz[:, 1],
+             xyz[:, 0] * xyz[:, 2], xyz[:, 1] * xyz[:, 2],
+         ], axis=-1)],
+        axis=-1,
+    )[perm]                                         # (N, 11)
+    xyz_s, int_s = payload[:, :3], payload[:, 3]
 
-    def round_fn(state, _):
-        keys, points, inten, occ = state["keys"], state["points"], state["inten"], state["occ"]
-        sn, ssum, ssq = state["sn"], state["ssum"], state["ssq"]
-        alive, offset = state["alive"], state["offset"]
-        slot = (h0 + offset) & (C - 1)
+    # run leaders: first row of each (hash, coords) run = the per-voxel
+    # winner (min center distance, then lowest original index)
+    prev_differs = (h_s[1:] != h_s[:-1]) | jnp.any(c_s[1:] != c_s[:-1], axis=-1)
+    leader = jnp.concatenate([jnp.ones((1,), bool), prev_differs])
 
-        slot_keys = keys[slot]                       # (N,3)
-        slot_used = slot_keys[..., 0] != _EMPTY      # occupied or tombstone
-        slot_occ = occ[slot] > 0.5
-        same = jnp.all(slot_keys == coords, axis=-1) & slot_used & alive
-        empty = (~slot_used) & alive
+    # segment-sum the Gaussian moments [count, sum3, sq6] onto leader rows
+    # with a REVERSE segmented scan: each row accumulates rightward until the
+    # next run boundary, so the run total lands on the leader. (A global
+    # cumsum + difference catastrophically cancels in f32 — world-scale
+    # second moments summed over the whole batch reach ~1e7 while per-voxel
+    # values are ~1e2; segmented partial sums never mix runs.)
+    moments = jnp.concatenate(
+        [payload[:, 4:5], payload[:, :3], payload[:, 5:]], axis=-1)  # (N, 10)
 
-        # --- same-voxel competition: nearest-to-center wins (incl. incumbent)
-        # Tombstoned slots (deleted; keys kept so probe chains stay intact)
-        # have no incumbent: candidates revive them.
-        occ_d2c = _center_dist2(points, keys, L)     # (C,) incumbent distances
-        inc_d2c = jnp.where(slot_occ, occ_d2c[slot], big)
-        # scatter-min candidate distances per contested slot (+1 dump bin)
-        dbuf = jnp.full((C + 1,), big, xyz.dtype)
-        dbuf = dbuf.at[jnp.where(same, slot, C)].min(jnp.where(same, d2c, big))
-        cand_is_min = same & (d2c <= dbuf[:C][slot])
-        # tie-break equal-distance candidates by lowest index
-        ibuf = jnp.full((C + 1,), jnp.int32(n))
-        ibuf = ibuf.at[jnp.where(cand_is_min, slot, C)].min(
-            jnp.where(cand_is_min, idx_n, n)
-        )
-        cand_win = cand_is_min & (ibuf[:C][slot] == idx_n) & (d2c < inc_d2c)
-        # scatter winning candidate payloads (losers target the C dump row);
-        # winning a tombstoned slot revives it
-        w_slot = jnp.where(cand_win, slot, C)
-        points = points.at[w_slot, :].set(xyz, mode="drop")
-        inten = inten.at[w_slot].set(intensity, mode="drop")
-        occ = occ.at[w_slot].set(1.0, mode="drop")
+    def seg_combine(a, b):
+        # inclusive segmented sum; flags mark segment starts in scan order
+        va, fa = a
+        vb, fb = b
+        return va * (1.0 - fb) + vb, jnp.maximum(fa, fb)
 
-        # --- empty-slot claims: lowest candidate index wins the slot
-        cbuf = jnp.full((C + 1,), jnp.int32(n))
-        cbuf = cbuf.at[jnp.where(empty, slot, C)].min(jnp.where(empty, idx_n, n))
-        claim_win = empty & (cbuf[:-1][slot] == idx_n)
-        cw_slot = jnp.where(claim_win, slot, C)
-        keys = keys.at[cw_slot, :].set(coords, mode="drop")
-        points = points.at[cw_slot, :].set(xyz, mode="drop")
-        inten = inten.at[cw_slot].set(intensity, mode="drop")
-        occ = occ.at[cw_slot].set(1.0, mode="drop")
+    # in right-to-left scan order a segment STARTS at its run's last row
+    is_end = jnp.concatenate([leader[1:], jnp.ones((1,), bool)])
+    flags = is_end.astype(ft)[:, None]
+    seg, _ = jax.lax.associative_scan(
+        seg_combine, (moments, flags), reverse=True)  # meaningful at leaders
 
-        # --- Gaussian accumulators: every candidate that RESOLVED to a slot
-        # this round (matched its voxel, or claimed it) contributes its raw
-        # moments, win or lose — the voxel distribution covers all routed
-        # points, not just the kept representative.
+    alive0 = leader & (h_s < C)
+
+    # ---- phase 2: probe rounds resolve each leader to its final SLOT only
+    # (match its voxel's slot or claim an empty one). Key insight: dedupe
+    # guarantees one leader per voxel, so a slot written this batch is never
+    # re-read this batch — incumbent competition, representative writes and
+    # stats deposits all defer to one post-loop step. Only the key table
+    # must stay live across rounds (claims steer later probes).
+    def resolve(keysT, slot, alive, claim_win):
+        """Fold one round's outcome: same-voxel match or arbitrated claim."""
+        slot_q = jnp.where(alive, slot, C)
+        gk = keysT.at[slot_q].get(mode="fill", fill_value=0x7FFFFFFF)
+        same = jnp.all(gk == c_s, axis=-1) & (gk[:, 0] != _EMPTY) & alive
+        keysT = keysT.at[jnp.where(claim_win, slot, C), :].set(
+            c_s, mode="drop")
         resolved = same | claim_win
-        r_slot = jnp.where(resolved, slot, C)
-        sn = sn.at[r_slot].add(1.0, mode="drop")
-        ssum = ssum.at[r_slot, :].add(xyz, mode="drop")
-        ssq = ssq.at[r_slot, :].add(sq6, mode="drop")
+        advance = alive & ~resolved
+        return keysT, same, resolved, advance
 
-        # --- liveness update
-        # same-voxel contenders are resolved (won or lost) -> dead
-        # empty-claim winners -> dead
-        # empty-claim losers: if winner has same coords, stay (compete next
-        #   round via the 'same' path, offset unchanged); else advance probe.
-        lost_claim = empty & ~claim_win
-        winner_idx = jnp.clip(cbuf[:-1][slot], 0, n - 1)
-        winner_same_coords = jnp.all(coords[winner_idx] == coords, axis=-1)
-        advance = (alive & ~same & ~empty) | (lost_claim & ~winner_same_coords)
-        stay = lost_claim & winner_same_coords
-        alive = stay | advance
-        offset = offset + advance.astype(jnp.int32)
+    # round 0 (offset 0): leaders are SORTED by hash, so rival claims for
+    # one slot are adjacent — first-of-hash-run wins, no scatter-min needed.
+    slot = h_s & (C - 1)
+    slot_q0 = jnp.where(alive0, slot, C)
+    gk0 = vmap.keys.at[slot_q0].get(mode="fill", fill_value=0x7FFFFFFF)
+    empty0 = (gk0[:, 0] == _EMPTY) & alive0
+    first_of_hash = jnp.concatenate(
+        [jnp.ones((1,), bool), h_s[1:] != h_s[:-1]])
+    keysT, same, resolved, alive = resolve(
+        vmap.keys, slot, alive0, empty0 & first_of_hash)
+    r_slot = jnp.where(resolved, slot, C)
+    offset = alive.astype(jnp.int32)
 
-        return dict(keys=keys, points=points, inten=inten, occ=occ,
-                    sn=sn, ssum=ssum, ssq=ssq,
-                    alive=alive, offset=offset), None
-
-    # early exit: most batches resolve in 1-2 rounds (low load factor);
-    # each round touches C-sized arrays, so skipping dead rounds is ~4x
+    # later rounds (rare: hash collisions between distinct voxels) use
+    # scatter-min arbitration for racing claims
     def cond_fn(carry):
-        state, rnd = carry
-        return (rnd < vmap.max_probes) & jnp.any(state["alive"])
+        _, _, _, alive, _, rnd = carry
+        return (rnd < vmap.max_probes) & jnp.any(alive)
 
     def body_fn(carry):
-        state, rnd = carry
-        state, _ = round_fn(state, None)
-        return (state, rnd + 1)
+        keysT, r_slot, offset, alive, same_acc, rnd = carry
+        slot = (h_s + offset) & (C - 1)
+        slot_q = jnp.where(alive, slot, C)
+        gk = keysT.at[slot_q].get(mode="fill", fill_value=0x7FFFFFFF)
+        empty = (gk[:, 0] == _EMPTY) & alive
+        cbuf = jnp.full((C + 1,), jnp.int32(n))
+        cbuf = cbuf.at[jnp.where(empty, slot, C)].min(
+            jnp.where(empty, iota, n))
+        claim_win = empty & (
+            cbuf.at[slot_q].get(mode="fill", fill_value=int(n)) == iota)
+        keysT, same, resolved, advance = resolve(keysT, slot, alive, claim_win)
+        r_slot = jnp.where(resolved, slot, r_slot)
+        return (keysT, r_slot,
+                offset + advance.astype(jnp.int32), advance,
+                same_acc | same, rnd + 1)
 
-    state, _ = jax.lax.while_loop(cond_fn, body_fn, (state, jnp.int32(0)))
+    keysT, r_slot, _, _, same, _ = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (keysT, r_slot, offset, alive, same, jnp.int32(1)),
+    )
+
+    # ---- phase 3: one post-loop pass settles payloads.
+    # Same-voxel competition: nearest-to-center wins vs the incumbent
+    # (tombstones — keys kept on delete so probe chains stay intact — have
+    # no incumbent and are revived by any candidate; claims always win).
+    repT = jnp.concatenate(
+        [vmap.points, vmap.intensity[:, None], vmap.occupied[:, None]],
+        axis=-1,
+    )
+    grep = repT.at[jnp.where(r_slot < C, r_slot, C)].get(
+        mode="fill", fill_value=0.0)
+    incumbent = (grep[:, 4] > 0.5) & same
+    inc_d2c = jnp.where(incumbent, _center_dist2(grep[:, :3], c_s, L), big)
+    win = (d_s < inc_d2c) & (r_slot < C)
+    rep_new = jnp.concatenate(
+        [xyz_s, int_s[:, None], jnp.ones((n, 1), ft)], axis=-1)
+    repT = repT.at[jnp.where(win, r_slot, C), :].set(rep_new, mode="drop")
+
+    # Gaussian accumulators: every resolved leader deposits its run's summed
+    # moments, win or lose — the distribution covers all routed points, not
+    # just the kept representative.
+    statsT = jnp.concatenate(
+        [vmap.stat_n[:, None], vmap.stat_sum, vmap.stat_sq], axis=-1)
+    statsT = statsT.at[r_slot, :].add(seg, mode="drop")
+
     return vmap.replace(
-        keys=state["keys"], points=state["points"],
-        intensity=state["inten"], occupied=state["occ"],
-        stat_n=state["sn"], stat_sum=state["ssum"], stat_sq=state["ssq"],
+        keys=keysT, points=repT[:, :3],
+        intensity=repT[:, 3], occupied=repT[:, 4],
+        stat_n=statsT[:, 0], stat_sum=statsT[:, 1:4], stat_sq=statsT[:, 4:],
     )
 
 

@@ -125,6 +125,7 @@ def scan_to_map_step(
         g = vgicp_align(
             scan.xyz, sub_mean, sub_cov, inlier_mask, submask,
             src_cov6=src_cov6, init_transform=pose, cfg=cfg.gicp,
+            tgt_count=sub_n,
         )
         new_T = g.transform
         correction = new_T @ se3_inverse(pose)

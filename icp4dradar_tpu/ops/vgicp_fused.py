@@ -90,11 +90,13 @@ def _sym_inv3(c6, eps):
 def _make_vgicp_kernel(max_d2: float, cov_eps: float):
     gate = min(float(max_d2), float(_BIG) * 0.5)
 
-    def kernel(T_ref, src_ref, tgt_ref, best_ref, out_ref):
+    def kernel(cnt_ref, T_ref, src_ref, tgt_ref, best_ref, out_ref):
         # grid (ns, nt): i over source blocks, j over target tiles. The
         # running best correspondence (d2, mean, cov) per source point lives
         # in best_ref (10, TS) rows: [d2, q0..q2, cb0..cb5]; the GN
-        # accumulators are emitted on the last target tile.
+        # accumulators are emitted on the last target tile. Target tiles
+        # entirely past the submap's live count (compaction packs valid rows
+        # to the front) skip the NN work.
         i = pl.program_id(0)
         j = pl.program_id(1)
         nt = pl.num_programs(1)
@@ -104,39 +106,39 @@ def _make_vgicp_kernel(max_d2: float, cov_eps: float):
         Tm = T_ref[0, :]                  # (16,) row-major 4x4
         R = [[Tm[0], Tm[1], Tm[2]], [Tm[4], Tm[5], Tm[6]], [Tm[8], Tm[9], Tm[10]]]
         s = src_ref[:]                    # (10, TS): xyz, mask, cov6
-        t = tgt_ref[:]                    # (TM, 10): mean3, cov6, penalty
+        w_src = s[3]
+        ca = [s[4 + k] for k in range(6)]          # sensor-frame cov packed
 
         # p = R s + t
         p = [R[r][0] * s[0] + R[r][1] * s[1] + R[r][2] * s[2] + Tm[4 * r + 3]
              for r in range(3)]
-        w_src = s[3]
-        ca = [s[4 + k] for k in range(6)]          # sensor-frame cov packed
-
-        # NN against this tile's voxel means
-        d2 = jnp.zeros((tm, ts), jnp.float32)
-        for k in range(3):
-            diff = t[:, k:k + 1] - p[k][None, :]
-            d2 += diff * diff
-        d2 += t[:, 9][:, None]
-        dmin_j = jnp.min(d2, axis=0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-        arg = jnp.min(jnp.where(d2 <= dmin_j[None, :], rows, tm), axis=0)
-        onehot = (rows == arg[None, :]).astype(jnp.float32)
-        payload_j = jnp.concatenate(
-            [dmin_j[None, :]]
-            + [jnp.sum(t[:, k][:, None] * onehot, axis=0)[None, :]
-               for k in range(3)]
-            + [jnp.sum(t[:, 3 + k][:, None] * onehot, axis=0)[None, :]
-               for k in range(6)],
-            axis=0,
-        )                                  # (10, TS)
 
         @pl.when(j == 0)
         def _():
-            best_ref[i, :, :] = payload_j
+            row10 = jax.lax.broadcasted_iota(jnp.int32, (10, ts), 0)
+            best_ref[i, :, :] = jnp.where(row10 == 0, 1e30, 0.0)
 
-        @pl.when(j > 0)
+        @pl.when((j == 0) | (j * tm < cnt_ref[0, 0]))
         def _():
+            t = tgt_ref[:]                # (TM, 10): mean3, cov6, penalty
+            # NN against this tile's voxel means
+            d2 = jnp.zeros((tm, ts), jnp.float32)
+            for k in range(3):
+                diff = t[:, k:k + 1] - p[k][None, :]
+                d2 += diff * diff
+            d2 += t[:, 9][:, None]
+            dmin_j = jnp.min(d2, axis=0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+            arg = jnp.min(jnp.where(d2 <= dmin_j[None, :], rows, tm), axis=0)
+            onehot = (rows == arg[None, :]).astype(jnp.float32)
+            payload_j = jnp.concatenate(
+                [dmin_j[None, :]]
+                + [jnp.sum(t[:, k][:, None] * onehot, axis=0)[None, :]
+                   for k in range(3)]
+                + [jnp.sum(t[:, 3 + k][:, None] * onehot, axis=0)[None, :]
+                   for k in range(6)],
+                axis=0,
+            )                              # (10, TS)
             better = payload_j[0, :] < best_ref[i, 0, :]
             best_ref[i, :, :] = jnp.where(better[None, :], payload_j,
                                           best_ref[i, :, :])
@@ -247,9 +249,16 @@ def vgicp_iteration(
     cov_eps: float = 1e-3,
     ts: int = 512,
     interpret: bool = False,
+    tgt_count: Optional[jnp.ndarray] = None,
 ):
-    """One fused GN pass -> (H (6,6), g (6,), cost, wsum, d2sum)."""
+    """One fused GN pass -> (H (6,6), g (6,), cost, wsum, d2sum).
+
+    `tgt_count`: number of live target rows IF the valid rows are packed to
+    the front (mask_compact output) — lets the kernel skip dead tiles. Leave
+    None for arbitrary masks (every tile is scanned)."""
     n, m = src_xyz.shape[0], tgt_mean.shape[0]
+    if tgt_count is None:
+        tgt_count = jnp.asarray(m, jnp.int32)
     ts = min(ts, max(8, n))
     pad_n = (-n) % ts
     src10 = jnp.concatenate(
@@ -274,10 +283,12 @@ def vgicp_iteration(
     np_ = src10.shape[1]
     ns = np_ // ts
     nt = tgt10.shape[0] // tm_tile
+    cnt = jnp.reshape(tgt_count.astype(jnp.int32), (1, 1))
     best, out = pl.pallas_call(
         _make_vgicp_kernel(float(max_correspondence_dist) ** 2, cov_eps),
         grid=(ns, nt),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((10, ts), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm_tile, 10), lambda i, j: (j, 0),
@@ -294,7 +305,7 @@ def vgicp_iteration(
             jax.ShapeDtypeStruct((ns, _NOUT), jnp.float32),
         ],
         interpret=interpret,
-    )(T16, src10, tgt10)
+    )(cnt, T16, src10, tgt10)
     acc = jnp.sum(out, axis=0)
     return _unpack_accumulators(acc, src_xyz.dtype)
 

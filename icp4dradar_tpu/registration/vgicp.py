@@ -37,12 +37,15 @@ def vgicp_align(
     src_cov6: Optional[jnp.ndarray] = None,
     init_transform: Optional[jnp.ndarray] = None,
     cfg: GicpConfig = GicpConfig(),
+    tgt_count: Optional[jnp.ndarray] = None,
 ) -> GicpResult:
     """Align a scan onto voxel distributions (means + packed covariances).
 
     src_xyz is in the SENSOR frame; init_transform is the pose prediction
     (the optimization refines it; identity-seeded calls behave like the
-    reference's correction-transform usage)."""
+    reference's correction-transform usage). `tgt_count` (optional): live
+    target row count when valid rows are front-packed (compaction output) —
+    lets the fused kernel skip dead tiles."""
     if src_mask is None:
         src_mask = jnp.ones(src_xyz.shape[0], dtype=src_xyz.dtype)
     if tgt_mask is None:
@@ -56,6 +59,7 @@ def vgicp_align(
             T, src_xyz, src_mask, src_cov6, tgt_mean, tgt_cov6, tgt_mask,
             max_correspondence_dist=cfg.max_correspondence_dist,
             cov_eps=cfg.cov_epsilon,
+            tgt_count=tgt_count,
         )
     else:
         it_fn = lambda T: vgicp_iteration_xla(
