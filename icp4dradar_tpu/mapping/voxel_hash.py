@@ -216,61 +216,76 @@ def voxel_map_insert(
     alive0 = leader & (h_s < C)
 
     # ---- phase 2: probe rounds resolve each leader to its final SLOT only
-    # (match its voxel's slot or claim an empty one). Key insight: dedupe
-    # guarantees one leader per voxel, so a slot written this batch is never
-    # re-read this batch — incumbent competition, representative writes and
-    # stats deposits all defer to one post-loop step. Only the key table
-    # must stay live across rounds (claims steer later probes).
-    def resolve(keysT, slot, alive, claim_win):
-        """Fold one round's outcome: same-voxel match or arbitrated claim."""
-        slot_q = jnp.where(alive, slot, C)
-        gk = keysT.at[slot_q].get(mode="fill", fill_value=0x7FFFFFFF)
-        same = jnp.all(gk == c_s, axis=-1) & (gk[:, 0] != _EMPTY) & alive
-        keysT = keysT.at[jnp.where(claim_win, slot, C), :].set(
+    # (match its voxel's slot or claim an empty one). Key insights: (a)
+    # dedupe guarantees one leader per voxel, so a slot written this batch is
+    # never re-read this batch — incumbent competition, representative writes
+    # and stats deposits all defer to one post-loop step; only the key table
+    # stays live across rounds (claims steer later probes). (b) every
+    # gather/scatter has a high FIXED cost on TPU, so each round examines a
+    # WINDOW of W consecutive probe slots in ONE gather — one round resolves
+    # nearly all candidates. Claims happen only at a candidate's FIRST empty
+    # slot (the open-addressing no-hole invariant later lookups rely on);
+    # losers re-probe from that slot after the winner fills it.
+    W = min(4, vmap.max_probes)
+    w_iota = jnp.arange(W, dtype=jnp.int32)
+    mp = jnp.int32(vmap.max_probes)
+
+    def round_fn(keysT, r_slot, same, offset, alive, _rnd):
+        base = h_s + offset
+        slots = (base[:, None] + w_iota[None, :]) & (C - 1)   # (N, W)
+        slots_q = jnp.where(alive[:, None], slots, C)
+        gk = keysT.at[slots_q].get(mode="fill", fill_value=0x7FFFFFFF)
+        valid_w = (offset[:, None] + w_iota[None, :]) < mp    # probe cap
+        used = gk[..., 0] != _EMPTY
+        match = jnp.all(gk == c_s[:, None, :], axis=-1) & used & valid_w
+        empty = (~used) & valid_w
+        matchpos = jnp.min(jnp.where(match, w_iota[None, :], W), axis=1)
+        emptypos = jnp.min(jnp.where(empty, w_iota[None, :], W), axis=1)
+
+        # a match anywhere in the window wins (an empty can never precede a
+        # voxel's slot in its chain — tombstones keep keys — so preferring
+        # the match is both equivalent and duplicate-proof)
+        same_r = alive & (matchpos < W)
+        wants_claim = alive & ~same_r & (emptypos < W)
+        e_slot = (base + emptypos) & (C - 1)
+        # racing claims for one slot arbitrate by scatter-min on sorted row
+        cbuf = jnp.full((C + 1,), jnp.int32(n))
+        cbuf = cbuf.at[jnp.where(wants_claim, e_slot, C)].min(
+            jnp.where(wants_claim, iota, n))
+        claim_win = wants_claim & (
+            cbuf.at[jnp.where(wants_claim, e_slot, C)].get(
+                mode="fill", fill_value=int(n)) == iota)
+        keysT = keysT.at[jnp.where(claim_win, e_slot, C), :].set(
             c_s, mode="drop")
-        resolved = same | claim_win
-        advance = alive & ~resolved
-        return keysT, same, resolved, advance
 
-    # round 0 (offset 0): leaders are SORTED by hash, so rival claims for
-    # one slot are adjacent — first-of-hash-run wins, no scatter-min needed.
-    slot = h_s & (C - 1)
-    slot_q0 = jnp.where(alive0, slot, C)
-    gk0 = vmap.keys.at[slot_q0].get(mode="fill", fill_value=0x7FFFFFFF)
-    empty0 = (gk0[:, 0] == _EMPTY) & alive0
-    first_of_hash = jnp.concatenate(
-        [jnp.ones((1,), bool), h_s[1:] != h_s[:-1]])
-    keysT, same, resolved, alive = resolve(
-        vmap.keys, slot, alive0, empty0 & first_of_hash)
-    r_slot = jnp.where(resolved, slot, C)
-    offset = alive.astype(jnp.int32)
+        slot_res = jnp.where(same_r, (base + matchpos) & (C - 1), e_slot)
+        resolved = same_r | claim_win
+        r_slot = jnp.where(resolved, slot_res, r_slot)
+        same = same | same_r
+        # claim losers re-probe from the contested slot; others skip the
+        # whole window
+        offset = offset + jnp.where(wants_claim & ~claim_win, emptypos, W)
+        alive = alive & ~resolved & (offset < mp)
+        return keysT, r_slot, same, offset, alive
 
-    # later rounds (rare: hash collisions between distinct voxels) use
-    # scatter-min arbitration for racing claims
+    keysT, r_slot, same, offset, alive = round_fn(
+        vmap.keys, jnp.full((n,), C, jnp.int32),
+        jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32), alive0, 0)
+
     def cond_fn(carry):
-        _, _, _, alive, _, rnd = carry
-        return (rnd < vmap.max_probes) & jnp.any(alive)
+        _, _, _, _, alive, rnd = carry
+        # backstop only — claim losers make progress every round because the
+        # winner filled the contested slot
+        return (rnd < 2 * vmap.max_probes) & jnp.any(alive)
 
     def body_fn(carry):
-        keysT, r_slot, offset, alive, same_acc, rnd = carry
-        slot = (h_s + offset) & (C - 1)
-        slot_q = jnp.where(alive, slot, C)
-        gk = keysT.at[slot_q].get(mode="fill", fill_value=0x7FFFFFFF)
-        empty = (gk[:, 0] == _EMPTY) & alive
-        cbuf = jnp.full((C + 1,), jnp.int32(n))
-        cbuf = cbuf.at[jnp.where(empty, slot, C)].min(
-            jnp.where(empty, iota, n))
-        claim_win = empty & (
-            cbuf.at[slot_q].get(mode="fill", fill_value=int(n)) == iota)
-        keysT, same, resolved, advance = resolve(keysT, slot, alive, claim_win)
-        r_slot = jnp.where(resolved, slot, r_slot)
-        return (keysT, r_slot,
-                offset + advance.astype(jnp.int32), advance,
-                same_acc | same, rnd + 1)
+        keysT, r_slot, same, offset, alive, rnd = carry
+        keysT, r_slot, same, offset, alive = round_fn(
+            keysT, r_slot, same, offset, alive, rnd)
+        return (keysT, r_slot, same, offset, alive, rnd + 1)
 
-    keysT, r_slot, _, _, same, _ = jax.lax.while_loop(
-        cond_fn, body_fn,
-        (keysT, r_slot, offset, alive, same, jnp.int32(1)),
+    keysT, r_slot, same, _, _, _ = jax.lax.while_loop(
+        cond_fn, body_fn, (keysT, r_slot, same, offset, alive, jnp.int32(1)),
     )
 
     # ---- phase 3: one post-loop pass settles payloads.
@@ -369,18 +384,36 @@ def voxel_map_sector_search_with_stats(
     (points (P,3), mask (P,), count (), means (P,3), covs_packed (P,6)).
 
     The distribution payload is what scan-to-map VGICP registers against —
-    no per-frame kNN covariance estimation (registration/vgicp.py)."""
+    no per-frame kNN covariance estimation (registration/vgicp.py).
+
+    The RAW accumulators [n, sum3, sq6] are compacted and the mean/cov math
+    runs on the (out_size, ...) result — 16x fewer elementwise ops than
+    evaluating them over every table slot."""
     delta = vmap.points - center
     d2 = jnp.sum(delta * delta, axis=-1)
     bearing = jnp.arctan2(delta[..., 1], delta[..., 0]) * 180.0 / jnp.pi
     diff = jnp.abs((bearing - heading_deg + 180.0) % 360.0 - 180.0)
     sel = (vmap.occupied > 0.5) & (d2 < radius * radius) & (diff < half_angle_deg)
     payload = jnp.concatenate(
-        [vmap.points, vmap.voxel_means(), vmap.voxel_covs_packed(min_count)],
+        [vmap.points, vmap.stat_n[:, None], vmap.stat_sum, vmap.stat_sq],
         axis=-1,
-    )  # (C, 12)
+    )  # (C, 13)
     out, mask, count = mask_compact(payload, sel.astype(vmap.points.dtype), out_size)
-    return out[:, :3], mask, count, out[:, 3:6], out[:, 6:12]
+    n = jnp.maximum(out[:, 3:4], 1.0)
+    mu = out[:, 4:7] / n
+    ex2 = out[:, 7:13] / n
+    cov = jnp.stack([
+        ex2[:, 0] - mu[:, 0] * mu[:, 0],
+        ex2[:, 1] - mu[:, 1] * mu[:, 1],
+        ex2[:, 2] - mu[:, 2] * mu[:, 2],
+        ex2[:, 3] - mu[:, 0] * mu[:, 1],
+        ex2[:, 4] - mu[:, 0] * mu[:, 2],
+        ex2[:, 5] - mu[:, 1] * mu[:, 2],
+    ], axis=-1)
+    iso = jnp.asarray([0.01, 0.01, 0.01, 0.0, 0.0, 0.0], dtype=cov.dtype)
+    thin = out[:, 3:4] < min_count
+    cov = jnp.where(thin, iso[None, :], cov)
+    return out[:, :3], mask, count, mu, cov
 
 
 def voxel_map_delete_box(

@@ -28,6 +28,15 @@ def mask_compact(
     pos = jnp.cumsum(maskb.astype(jnp.int32)) - 1          # destination slot
     count = jnp.sum(maskb.astype(jnp.int32))
     dest = jnp.where(maskb & (pos < out_size), pos, out_size)  # overflow bin
+    if values.ndim == 2 and fill == 0.0:
+        # fold the mask into the scatter payload: scatters have a high fixed
+        # cost on TPU, one op instead of two
+        aug = jnp.concatenate(
+            [values, jnp.ones((values.shape[0], 1), values.dtype)], axis=-1)
+        out = jnp.zeros((out_size + 1, aug.shape[1]), values.dtype)
+        out = out.at[dest].set(aug)
+        return (out[:out_size, :-1], out[:out_size, -1],
+                jnp.minimum(count, out_size))
     out_shape = (out_size + 1,) + values.shape[1:]
     out = jnp.full(out_shape, fill, dtype=values.dtype).at[dest].set(values)
     out_mask = jnp.zeros(out_size + 1, dtype=values.dtype).at[dest].set(1.0)

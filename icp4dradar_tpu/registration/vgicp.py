@@ -69,23 +69,26 @@ def vgicp_align(
         )
 
     def cond(state):
-        T, it, delta = state
+        T, it, delta, _, _ = state
         return (it < cfg.max_iterations) & (delta > cfg.transformation_epsilon)
 
     def body(state):
-        T, it, _ = state
+        T, it, _, _, _ = state
         H, g, cost, wsum, d2sum = it_fn(T)
         H = H + cfg.lm_lambda * jnp.eye(6, dtype=T.dtype)
         # guard: with no valid correspondences H ~ lambda*I and g = 0
         xi = solve_psd(H, -g)
         xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
         T_new = se3_exp(xi) @ T
-        return (T_new, it + 1, jnp.sum(jnp.abs(xi)))
+        # fitness from THIS evaluation point: at convergence (|xi| < eps)
+        # it matches a final re-evaluation to first order, so we skip the
+        # extra kernel pass the reference's getFitnessScore would cost
+        return (T_new, it + 1, jnp.sum(jnp.abs(xi)), wsum, d2sum)
 
-    init = (T0, jnp.int32(0), jnp.asarray(jnp.inf, src_xyz.dtype))
-    T, iters, delta = jax.lax.while_loop(cond, body, init)
+    zero = jnp.zeros((), src_xyz.dtype)
+    init = (T0, jnp.int32(0), jnp.asarray(jnp.inf, src_xyz.dtype), zero, zero)
+    T, iters, delta, wsum, d2sum = jax.lax.while_loop(cond, body, init)
 
-    _, _, cost, wsum, d2sum = it_fn(T)
     fitness = d2sum / jnp.maximum(wsum, 1.0)
     converged = (delta <= cfg.transformation_epsilon) | (iters >= cfg.max_iterations)
     return GicpResult(transform=T, converged=converged, fitness=fitness,
