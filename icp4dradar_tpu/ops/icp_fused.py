@@ -64,7 +64,13 @@ def _make_icp_moments_kernel(max_d2: float):
         rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         arg = jnp.min(jnp.where(d2 <= dmin[None, :], rows, tm), axis=0)
         onehot = (rows == arg[None, :]).astype(jnp.float32)      # (TM, TS)
-        q = [jnp.sum(t4[:, k][:, None] * onehot, axis=0) for k in range(3)]
+        # matched-target coords via ONE MXU matmul t4^T @ onehot instead of
+        # three (TM, TS) one-hot reduce passes on the VPU
+        qsel = jax.lax.dot_general(
+            t4, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                        # (4, TS)
+        q = [qsel[k] for k in range(3)]
 
         w = w_src * (dmin < gate)
 
@@ -76,7 +82,11 @@ def _make_icp_moments_kernel(max_d2: float):
             for b in range(3):
                 mom.append(jnp.sum(w * p[a] * q[b]))
         mom.append(jnp.sum(w * dmin))
-        vals = jnp.stack(mom)             # (17,)
+        # ungated fitness sums (PCL getFitnessScore has no gate): ride along
+        # so the post-convergence evaluation needs a single pass
+        mom.append(jnp.sum(w_src * dmin))
+        mom.append(jnp.sum(w_src))
+        vals = jnp.stack(mom)             # (19,)
         out_ref[i, : vals.shape[0]] = vals
         out_ref[i, vals.shape[0]:] = jnp.zeros(
             (_NMOM - vals.shape[0],), jnp.float32
@@ -98,9 +108,12 @@ def icp_iteration_moments(
     ts: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """One fused pass -> (17,) moments [sw, swp(3), swq(3), swpq(9), swd2].
+    """One fused pass -> (19,) moments
+    [sw, swp(3), swq(3), swpq(9), swd2, swd2_ungated, sw_ungated].
 
-    Correspondences beyond max_correspondence_dist (static) get weight 0.
+    Correspondences beyond max_correspondence_dist (static) get weight 0;
+    the trailing pair sums every valid source point regardless of the gate
+    (PCL getFitnessScore semantics).
     """
     n, m = src_xyz.shape[0], tgt_xyz.shape[0]
     ts = min(ts, max(8, n))
@@ -132,7 +145,7 @@ def icp_iteration_moments(
         out_shape=jax.ShapeDtypeStruct((ns, _NMOM), jnp.float32),
         interpret=interpret,
     )(T16, src4, tgt4)
-    moments = jnp.sum(out, axis=0)[:17]
+    moments = jnp.sum(out, axis=0)[:19]
     return moments
 
 
@@ -162,6 +175,8 @@ def icp_iteration_moments_xla(
         for b in range(3):
             mom.append(jnp.sum(w * p[:, a] * q[:, b]))
     mom.append(jnp.sum(w * d2))
+    mom.append(jnp.sum(src_mask * d2))
+    mom.append(jnp.sum(src_mask))
     return jnp.stack(mom)
 
 

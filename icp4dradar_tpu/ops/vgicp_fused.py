@@ -131,14 +131,13 @@ def _make_vgicp_kernel(max_d2: float, cov_eps: float):
             rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
             arg = jnp.min(jnp.where(d2 <= dmin_j[None, :], rows, tm), axis=0)
             onehot = (rows == arg[None, :]).astype(jnp.float32)
-            payload_j = jnp.concatenate(
-                [dmin_j[None, :]]
-                + [jnp.sum(t[:, k][:, None] * onehot, axis=0)[None, :]
-                   for k in range(3)]
-                + [jnp.sum(t[:, 3 + k][:, None] * onehot, axis=0)[None, :]
-                   for k in range(6)],
-                axis=0,
-            )                              # (10, TS)
+            # matched mean+cov payload via ONE MXU matmul t^T @ onehot
+            # instead of nine (TM, TS) one-hot reduce passes on the VPU
+            tsel = jax.lax.dot_general(
+                t[:, :9], onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                              # (9, TS)
+            payload_j = jnp.concatenate([dmin_j[None, :], tsel], axis=0)
             better = payload_j[0, :] < best_ref[i, 0, :]
             best_ref[i, :, :] = jnp.where(better[None, :], payload_j,
                                           best_ref[i, :, :])

@@ -33,12 +33,18 @@ class SineFit:
 
 
 def _sample_valid_indices(key, mask: jnp.ndarray, num: int) -> jnp.ndarray:
-    """(num,) indices drawn uniformly from valid slots (Gumbel-max trick —
-    replaces the reference's std::random_device draws :96-100 with
-    deterministic keys, SURVEY.md §7 'RANSAC under jit')."""
-    g = jax.random.gumbel(key, (num, mask.shape[0]))
-    scores = jnp.where(mask > 0.5, g, -jnp.inf)
-    return jnp.argmax(scores, axis=-1)
+    """(num,) indices drawn uniformly from valid slots — replaces the
+    reference's std::random_device draws :96-100 with deterministic keys
+    (SURVEY.md §7 'RANSAC under jit').
+
+    Inverse-CDF over the validity cumsum: draw `num` uniforms and count the
+    crossing position with one (num, N) compare — generating only `num`
+    random floats instead of a (num, N) Gumbel tile (RNG dominated the
+    original preprocessing cost)."""
+    c = jnp.cumsum((mask > 0.5).astype(jnp.float32))
+    u = jax.random.uniform(key, (num,)) * c[-1]
+    idx = jnp.sum(c[None, :] <= u[:, None], axis=-1)
+    return jnp.clip(idx, 0, mask.shape[0] - 1)
 
 
 def sine_residuals(scan: RadarScan, A, b) -> jnp.ndarray:

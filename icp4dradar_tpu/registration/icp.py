@@ -83,14 +83,15 @@ def icp_point_to_point(
     init = (T0, jnp.int32(0), jnp.asarray(jnp.inf, src_xyz.dtype))
     T, iters, delta = jax.lax.while_loop(cond, body, init)
 
-    # PCL-style fitness: mean squared NN distance of valid src points under
-    # the final transform (getFitnessScore default: no max_range gate).
-    fit_moments = moments_fn(T, 1e8)
-    _, fitness = moments_to_transform(fit_moments, src_xyz.dtype)
-    # gated variants for overlap-aware acceptance (loop-closure validation):
-    # with partial FoV overlap the ungated mean is dominated by unmatched
-    # regions even when the aligned overlap is tight.
+    # ONE post-convergence pass yields both fitness flavors: the kernel
+    # emits gated moments plus ungated [swd2, sw] sums.
+    # - fitness: PCL getFitnessScore (mean squared NN distance of valid src
+    #   points under the final transform, no max_range gate)
+    # - gated_fitness/inlier_fraction: overlap-aware acceptance for
+    #   loop-closure validation — with partial FoV overlap the ungated mean
+    #   is dominated by unmatched regions even when the overlap is tight.
     gm = moments_fn(T, cfg.max_correspondence_dist)
+    fitness = gm[17] / jnp.maximum(gm[18], 1e-9)
     _, gated_fitness = moments_to_transform(gm, src_xyz.dtype)
     inlier_fraction = gm[0] / jnp.maximum(jnp.sum(src_mask), 1.0)
     converged = delta <= jnp.maximum(cfg.transformation_epsilon, 1e-12)
