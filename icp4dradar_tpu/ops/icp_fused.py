@@ -53,7 +53,10 @@ def _make_icp_moments_kernel(max_d2: float):
         ]                                 # 3 x (TS,)
         w_src = s4[3, :]
 
-        # distance tile (TM, TS) + penalty column for masked targets
+        # distance tile (TM, TS) + penalty column for masked targets.
+        # (A K=3 MXU matmul for the cross term measured SLOWER than these
+        # VPU passes: f32-highest matmuls decompose into multiple bf16
+        # passes and K pads to 128 — 43x contraction waste.)
         d2 = jnp.zeros((tm, ts), jnp.float32)
         for k in range(3):
             diff = t4[:, k:k + 1] - p[k][None, :]

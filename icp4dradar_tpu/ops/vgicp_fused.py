@@ -121,7 +121,8 @@ def _make_vgicp_kernel(max_d2: float, cov_eps: float):
         @pl.when((j == 0) | (j * tm < cnt_ref[0, 0]))
         def _():
             t = tgt_ref[:]                # (TM, 10): mean3, cov6, penalty
-            # NN against this tile's voxel means
+            # NN against this tile's voxel means (K=3 MXU cross-term
+            # measured slower — see icp_fused.py note)
             d2 = jnp.zeros((tm, ts), jnp.float32)
             for k in range(3):
                 diff = t[:, k:k + 1] - p[k][None, :]

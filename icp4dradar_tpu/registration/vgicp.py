@@ -54,6 +54,14 @@ def vgicp_align(
         src_cov6 = radar_point_covariances_packed(src_xyz)
     T0 = se3_identity(src_xyz.dtype) if init_transform is None else init_transform
 
+    # Optimize in a cloud-centered frame: at kilometer-scale world
+    # coordinates the kernel's |t|^2 - 2 t.p + |p|^2 distance expansion
+    # cancels in f32 and the GN hat(p) coupling blocks condition poorly;
+    # shifting by the predicted position keeps everything at sensor range.
+    center = T0[:3, 3]
+    T0 = T0.at[:3, 3].set(jnp.zeros_like(center))
+    tgt_mean = tgt_mean - center[None, :]
+
     if jax.default_backend() == "tpu":
         it_fn = lambda T: vgicp_iteration(
             T, src_xyz, src_mask, src_cov6, tgt_mean, tgt_cov6, tgt_mask,
@@ -91,5 +99,6 @@ def vgicp_align(
 
     fitness = d2sum / jnp.maximum(wsum, 1.0)
     converged = (delta <= cfg.transformation_epsilon) | (iters >= cfg.max_iterations)
+    T = T.at[:3, 3].add(center)            # back to the world frame
     return GicpResult(transform=T, converged=converged, fitness=fitness,
                       iterations=iters)
