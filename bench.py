@@ -102,6 +102,26 @@ def main() -> int:
     except Exception as e:  # secondary must never break the primary metric
         print(f"secondary scan_to_map failed: {e}", file=sys.stderr)
 
+    # tertiary: multi-stream serving throughput (B sequences, private maps)
+    try:
+        from icp4dradar_tpu.models import run_scan_to_map_batch
+
+        B, F3 = 4, 64
+        scans3 = jax.tree.map(
+            lambda x: jax.numpy.stack([x[b * F3:(b + 1) * F3] for b in range(B)]),
+            scans,
+        )
+        run3 = jax.jit(lambda s: run_scan_to_map_batch(s, cfg)[1].world_T)
+        jax.block_until_ready(run3(scans3))
+        t0 = time.time()
+        jax.block_until_ready(run3(scans3))
+        dt3 = time.time() - t0
+        print(f"tertiary batched scan_to_map: B={B} streams, "
+              f"{B * F3 / dt3:.1f} aggregate scans/s "
+              f"({dt3 * 1e3 / F3:.2f} ms/frame-step)", file=sys.stderr)
+    except Exception as e:
+        print(f"tertiary batched scan_to_map failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "scan_to_scan_odometry_scans_per_sec",
         "value": round(scans_per_sec, 2),

@@ -194,3 +194,26 @@ def run_scan_to_map(
     state, outs = jax.lax.scan(step, scan_to_map_init(cfg, scans.xyz.dtype),
                                tuple(inputs))
     return state, outs
+
+
+def run_scan_to_map_batch(
+    scans: RadarScan,
+    cfg: PipelineConfig = PipelineConfig(),
+    key: Optional[jax.Array] = None,
+    **kwargs,
+) -> Tuple[ScanToMapState, ScanToMapOutput]:
+    """Track B independent sequences at once: `scans` has a leading batch
+    axis (B, F, ...), each sequence gets its own map, and every per-frame
+    stage (insert, sector query, fused VGICP) runs batched on the one chip.
+
+    Sequential map updates bound single-sequence latency; batching is how a
+    serving deployment recovers chip throughput (the multi-chip counterpart
+    shards sequences across the mesh, parallel/batch.py). Map memory is
+    ~18 MB/sequence at the default 2^18 capacity."""
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    B = scans.xyz.shape[0]
+    keys = jax.random.split(key, B)
+    return jax.vmap(
+        lambda s, k: run_scan_to_map(s, cfg, key=k, **kwargs)
+    )(scans, keys)

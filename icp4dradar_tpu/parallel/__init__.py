@@ -13,6 +13,7 @@ from icp4dradar_tpu.parallel.batch import (  # noqa: F401
     shard_scan_batch,
     batched_preprocess,
     batched_icp_pairs,
+    sharded_scan_to_map_batch,
 )
 from icp4dradar_tpu.parallel.sharded_map import (  # noqa: F401
     sharded_map_create,

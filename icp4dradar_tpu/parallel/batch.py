@@ -86,3 +86,49 @@ def batched_icp_pairs(
         return jax.vmap(one)(src_shard, tgt_shard)
 
     return run(src_scans, tgt_scans)
+
+
+def sharded_scan_to_map_batch(
+    scans: RadarScan,
+    mesh: Mesh,
+    cfg: PipelineConfig = PipelineConfig(),
+    key: Optional[jax.Array] = None,
+    axis: str = "dp",
+):
+    """Track B independent radar streams with B/n sequences per device —
+    each sequence owns a private map, so multi-stream serving scales
+    linearly over the mesh with ZERO collective traffic (the dp counterpart
+    of the spatially-sharded single-map path in parallel/sharded_map.py).
+
+    `scans`: stacked (B, F, ...) with B divisible by the mesh size.
+    Returns per-sequence stacked outputs (see models.run_scan_to_map_batch).
+    """
+    from icp4dradar_tpu.models.scan_to_map import run_scan_to_map_batch
+
+    B = scans.xyz.shape[0]
+    n = mesh.shape[axis]
+    if B % n:
+        raise ValueError(f"batch {B} must divide the mesh size {n}")
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    keys = jax.random.split(key, B)
+
+    out_shapes = jax.eval_shape(
+        lambda s, k: run_scan_to_map_batch(s, cfg, key=jax.random.key(0)),
+        scans, keys,
+    )
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(axis), scans), P(axis)),
+        out_specs=jax.tree.map(lambda _: P(axis), out_shapes),
+        check_vma=False,
+    )
+    def run(scan_shard, key_shard):
+        from icp4dradar_tpu.models.scan_to_map import run_scan_to_map
+
+        return jax.vmap(
+            lambda s, k: run_scan_to_map(s, cfg, key=k)
+        )(scan_shard, key_shard)
+
+    return run(scans, keys)

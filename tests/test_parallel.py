@@ -97,3 +97,54 @@ class TestDataParallel:
             np.testing.assert_allclose(
                 np.asarray(T[k])[:3, 3], T_rel[:3, 3], atol=0.25
             )
+
+
+class TestScanToMapBatch:
+    """Multi-stream serving path: B sequences, each with a private map."""
+
+    def _scans(self, B, F):
+        batches = []
+        for b in range(B):
+            seq = SyntheticSequence(
+                num_frames=F, max_points=256, num_landmarks=1200,
+                world_extent=50.0, max_range=40.0, seed=b,
+            )
+            batches.append(stack_scans([seq.scan(k) for k in range(F)]))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+    def _cfg(self):
+        return PipelineConfig().override(**{
+            "max_points": 256,
+            "voxel_map.capacity": 1 << 13,
+            "voxel_map.submap_max_points": 1 << 10,
+            "gicp.max_iterations": 8,
+        })
+
+    def test_vmap_batch_matches_sequential(self):
+        from icp4dradar_tpu.models import run_scan_to_map, run_scan_to_map_batch
+
+        cfg = self._cfg()
+        scans = self._scans(2, 4)
+        key = jax.random.key(cfg.seed)
+        _, outs = run_scan_to_map_batch(scans, cfg, key=key)
+        keys = jax.random.split(key, 2)
+        for b in range(2):
+            one = jax.tree.map(lambda x: x[b], scans)
+            _, ref = run_scan_to_map(one, cfg, key=keys[b])
+            np.testing.assert_allclose(
+                np.asarray(outs.world_T[b]), np.asarray(ref.world_T), atol=1e-4
+            )
+
+    def test_sharded_batch_matches_vmap(self, mesh):
+        from icp4dradar_tpu.models import run_scan_to_map_batch
+        from icp4dradar_tpu.parallel import sharded_scan_to_map_batch
+
+        cfg = self._cfg()
+        scans = self._scans(8, 3)
+        key = jax.random.key(cfg.seed)
+        _, outs_sharded = sharded_scan_to_map_batch(scans, mesh, cfg, key=key)
+        _, outs_local = run_scan_to_map_batch(scans, cfg, key=key)
+        np.testing.assert_allclose(
+            np.asarray(outs_sharded.world_T), np.asarray(outs_local.world_T),
+            atol=1e-4,
+        )
