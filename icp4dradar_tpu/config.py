@@ -104,6 +104,12 @@ class GicpConfig:
     # voxel distribution map with measurement-model scan covariances —
     # the fused TPU formulation. False falls back to kNN GICP (gicp.py).
     use_vgicp: bool = True
+    # sweep-free GN steps between NN re-association sweeps (0 = re-associate
+    # every iteration, the FastGICP behavior). Measured on v5e: 1 saves no
+    # wall clock in-pipeline (convergence needs ~the same sweep count) and
+    # costs ~10% ATE — kept as an option for large-submap configs where the
+    # sweep dominates.
+    inner_gn_steps: int = 0
     sigma_range: float = 0.1         # radar radial std [m]
     sigma_azimuth: float = 0.01      # radar azimuth std [rad]
     sigma_elevation: float = 0.02    # radar elevation std [rad]

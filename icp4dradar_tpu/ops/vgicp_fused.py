@@ -150,72 +150,104 @@ def _make_vgicp_kernel(max_d2: float, cov_eps: float):
         @pl.when(j == nt - 1)
         def _():
             best = best_ref[i, :, :]
-            dmin = best[0, :]
-            q = [best[1 + k, :] for k in range(3)]
-            cb = [best[4 + k, :] for k in range(6)]
+            out_ref[i, :] = _gn_accumulators(
+                R, p, w_src, ca, best, best[0, :], gate, cov_eps)
 
-            # rotate scan covariance: C' = R Ca R^T (packed)
-            Cfull = [[ca[0], ca[3], ca[4]],
-                     [ca[3], ca[1], ca[5]],
-                     [ca[4], ca[5], ca[2]]]
-            D = [[sum(R[r][k] * Cfull[k][c] for k in range(3))
-                  for c in range(3)] for r in range(3)]
-            cp = [
-                sum(D[0][k] * R[0][k] for k in range(3)),
-                sum(D[1][k] * R[1][k] for k in range(3)),
-                sum(D[2][k] * R[2][k] for k in range(3)),
-                sum(D[0][k] * R[1][k] for k in range(3)),
-                sum(D[0][k] * R[2][k] for k in range(3)),
-                sum(D[1][k] * R[2][k] for k in range(3)),
-            ]
+    return kernel
 
-            w = w_src * (dmin < gate)
 
-            # M = (C' + Cb + eps I)^-1
-            csum = [cp[k] + cb[k] for k in range(6)]
-            M = _sym_inv3(csum, cov_eps)      # packed [m00,m11,m22,m01,m02,m12]
-            m00, m11, m22, m01, m02, m12 = M
-            Mf = [[m00, m01, m02], [m01, m11, m12], [m02, m12, m22]]
+def _gn_accumulators(R, p, w_src, ca, best, gate_d2, gate, cov_eps):
+    """Shared Mahalanobis-GN accumulator math for the sweep and frozen
+    kernels: given the matched payload `best` ((10, TS) rows [d2, q, cb])
+    and the gating distances `gate_d2`, reduce to (32,) output scalars."""
+    q = [best[1 + k, :] for k in range(3)]
+    cb = [best[4 + k, :] for k in range(6)]
+    # rotate scan covariance: C' = R Ca R^T (packed)
+    Cfull = [[ca[0], ca[3], ca[4]],
+             [ca[3], ca[1], ca[5]],
+             [ca[4], ca[5], ca[2]]]
+    D = [[sum(R[r][k] * Cfull[k][c] for k in range(3))
+          for c in range(3)] for r in range(3)]
+    cp = [
+        sum(D[0][k] * R[0][k] for k in range(3)),
+        sum(D[1][k] * R[1][k] for k in range(3)),
+        sum(D[2][k] * R[2][k] for k in range(3)),
+        sum(D[0][k] * R[1][k] for k in range(3)),
+        sum(D[0][k] * R[2][k] for k in range(3)),
+        sum(D[1][k] * R[2][k] for k in range(3)),
+    ]
 
-            r_ = [q[k] - p[k] for k in range(3)]
-            Mr = [sum(Mf[a][k] * r_[k] for k in range(3)) for a in range(3)]
+    w = w_src * (gate_d2 < gate)
 
-            # g = [ -Mr ; -(p x Mr) ]
-            pxMr = [p[1] * Mr[2] - p[2] * Mr[1],
-                    p[2] * Mr[0] - p[0] * Mr[2],
-                    p[0] * Mr[1] - p[1] * Mr[0]]
-            g = [-Mr[0], -Mr[1], -Mr[2], -pxMr[0], -pxMr[1], -pxMr[2]]
+    # M = (C' + Cb + eps I)^-1
+    csum = [cp[k] + cb[k] for k in range(6)]
+    M = _sym_inv3(csum, cov_eps)      # packed [m00,m11,m22,m01,m02,m12]
+    m00, m11, m22, m01, m02, m12 = M
+    Mf = [[m00, m01, m02], [m01, m11, m12], [m02, m12, m22]]
 
-            # H blocks: Hvv = M; Hvw = -M hat(p); Hww = hat(p)^T M hat(p)
-            # hat(p) = [[0,-pz,py],[pz,0,-px],[-py,px,0]]
-            hp = [[jnp.zeros_like(p[0]), -p[2], p[1]],
-                  [p[2], jnp.zeros_like(p[0]), -p[0]],
-                  [-p[1], p[0], jnp.zeros_like(p[0])]]
-            Mhp = [[sum(Mf[a][k] * hp[k][c] for k in range(3)) for c in range(3)]
-                   for a in range(3)]
-            Hvw = [[-Mhp[a][c] for c in range(3)] for a in range(3)]
-            Hww = [[sum(hp[k][a] * Mhp[k][c] for k in range(3)) for c in range(3)]
-                   for a in range(3)]
-            # pack upper triangle of the 6x6 H: rows 0..5
-            Hfull = [[None] * 6 for _ in range(6)]
-            for a in range(3):
-                for c in range(3):
-                    Hfull[a][c] = Mf[a][c]
-                    Hfull[a][3 + c] = Hvw[a][c]
-                    Hfull[3 + a][3 + c] = Hww[a][c]
-            cost = sum(r_[k] * Mr[k] for k in range(3))
+    r_ = [q[k] - p[k] for k in range(3)]
+    Mr = [sum(Mf[a][k] * r_[k] for k in range(3)) for a in range(3)]
 
-            accs = []
-            for a in range(6):
-                for c in range(a, 6):
-                    accs.append(jnp.sum(w * Hfull[a][c]))
-            accs += [jnp.sum(w * g[k]) for k in range(6)]
-            accs.append(jnp.sum(w * cost))
-            accs.append(jnp.sum(w))
-            accs.append(jnp.sum(w * dmin))
-            vals = jnp.stack(accs)            # (30,)
-            out_ref[i, : vals.shape[0]] = vals
-            out_ref[i, vals.shape[0]:] = jnp.zeros((_NOUT - vals.shape[0],), jnp.float32)
+    # g = [ -Mr ; -(p x Mr) ]
+    pxMr = [p[1] * Mr[2] - p[2] * Mr[1],
+            p[2] * Mr[0] - p[0] * Mr[2],
+            p[0] * Mr[1] - p[1] * Mr[0]]
+    g = [-Mr[0], -Mr[1], -Mr[2], -pxMr[0], -pxMr[1], -pxMr[2]]
+
+    # H blocks: Hvv = M; Hvw = -M hat(p); Hww = hat(p)^T M hat(p)
+    # hat(p) = [[0,-pz,py],[pz,0,-px],[-py,px,0]]
+    hp = [[jnp.zeros_like(p[0]), -p[2], p[1]],
+          [p[2], jnp.zeros_like(p[0]), -p[0]],
+          [-p[1], p[0], jnp.zeros_like(p[0])]]
+    Mhp = [[sum(Mf[a][k] * hp[k][c] for k in range(3)) for c in range(3)]
+           for a in range(3)]
+    Hvw = [[-Mhp[a][c] for c in range(3)] for a in range(3)]
+    Hww = [[sum(hp[k][a] * Mhp[k][c] for k in range(3)) for c in range(3)]
+           for a in range(3)]
+    # pack upper triangle of the 6x6 H: rows 0..5
+    Hfull = [[None] * 6 for _ in range(6)]
+    for a in range(3):
+        for c in range(3):
+            Hfull[a][c] = Mf[a][c]
+            Hfull[a][3 + c] = Hvw[a][c]
+            Hfull[3 + a][3 + c] = Hww[a][c]
+    cost = sum(r_[k] * Mr[k] for k in range(3))
+
+    accs = []
+    for a in range(6):
+        for c in range(a, 6):
+            accs.append(jnp.sum(w * Hfull[a][c]))
+    accs += [jnp.sum(w * g[k]) for k in range(6)]
+    accs.append(jnp.sum(w * cost))
+    accs.append(jnp.sum(w))
+    accs.append(jnp.sum(w * gate_d2))
+    vals = jnp.stack(accs)            # (30,)
+    return jnp.concatenate(
+        [vals, jnp.zeros((_NOUT - vals.shape[0],), jnp.float32)])
+
+
+def _make_vgicp_frozen_kernel(max_d2: float, cov_eps: float):
+    """GN step on FROZEN correspondences: no NN sweep — each source block
+    reads its previously matched (q, cb) payload and re-linearizes at the
+    new transform. Gating uses the FRESH residual distance |q - p|^2 (the
+    stale sweep distance only marks never-matched rows)."""
+    gate = min(float(max_d2), float(_BIG) * 0.5)
+
+    def kernel(T_ref, src_ref, best_ref, out_ref):
+        i = pl.program_id(0)
+        Tm = T_ref[0, :]
+        R = [[Tm[0], Tm[1], Tm[2]], [Tm[4], Tm[5], Tm[6]], [Tm[8], Tm[9], Tm[10]]]
+        s = src_ref[:]
+        w_src = s[3]
+        ca = [s[4 + k] for k in range(6)]
+        p = [R[r][0] * s[0] + R[r][1] * s[1] + R[r][2] * s[2] + Tm[4 * r + 3]
+             for r in range(3)]
+        best = best_ref[0, :, :]
+        fresh = ((best[1, :] - p[0]) ** 2 + (best[2, :] - p[1]) ** 2
+                 + (best[3, :] - p[2]) ** 2)
+        gate_d2 = jnp.where(best[0, :] < 2.5e29, fresh, 1e30)
+        out_ref[i, :] = _gn_accumulators(
+            R, p, w_src, ca, best, gate_d2, gate, cov_eps)
 
     return kernel
 
@@ -235,7 +267,8 @@ def _unpack_accumulators(acc: jnp.ndarray, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_correspondence_dist", "cov_eps", "ts", "interpret"),
+    static_argnames=("max_correspondence_dist", "cov_eps", "ts", "interpret",
+                     "return_best"),
 )
 def vgicp_iteration(
     T: jnp.ndarray,
@@ -250,8 +283,11 @@ def vgicp_iteration(
     ts: int = 512,
     interpret: bool = False,
     tgt_count: Optional[jnp.ndarray] = None,
+    return_best: bool = False,
 ):
-    """One fused GN pass -> (H (6,6), g (6,), cost, wsum, d2sum).
+    """One fused GN pass -> (H (6,6), g (6,), cost, wsum, d2sum)
+    [+ the (ns, 10, ts) matched payload when `return_best` — feed it to
+    vgicp_iteration_frozen for sweep-free inner GN steps].
 
     `tgt_count`: number of live target rows IF the valid rows are packed to
     the front (mask_compact output) — lets the kernel skip dead tiles. Leave
@@ -306,6 +342,57 @@ def vgicp_iteration(
         ],
         interpret=interpret,
     )(cnt, T16, src10, tgt10)
+    acc = jnp.sum(out, axis=0)
+    unpacked = _unpack_accumulators(acc, src_xyz.dtype)
+    return unpacked + (best,) if return_best else unpacked
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_correspondence_dist", "cov_eps", "ts", "interpret"),
+)
+def vgicp_iteration_frozen(
+    T: jnp.ndarray,
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    src_cov6: jnp.ndarray,
+    best: jnp.ndarray,
+    max_correspondence_dist: float = 2.0,
+    cov_eps: float = 1e-3,
+    ts: int = 512,
+    interpret: bool = False,
+):
+    """GN pass re-linearized at T on FROZEN correspondences (the `best`
+    payload from a prior vgicp_iteration sweep) -> same outputs, no NN
+    sweep. With a good prior the matched voxel rarely changes between
+    consecutive GN steps, so alternating sweep/frozen halves the kernel
+    cost at equal iteration count (gating re-checks the fresh residual)."""
+    n = src_xyz.shape[0]
+    ts = min(ts, max(8, n))
+    pad_n = (-n) % ts
+    src10 = jnp.concatenate(
+        [src_xyz.astype(jnp.float32),
+         src_mask.astype(jnp.float32)[:, None],
+         src_cov6.astype(jnp.float32)],
+        axis=-1,
+    )
+    src10 = jnp.pad(src10, ((0, pad_n), (0, 0))).T          # (10, Np)
+    T16 = T.astype(jnp.float32).reshape(1, 16)
+    ns = src10.shape[1] // ts
+    out = pl.pallas_call(
+        _make_vgicp_frozen_kernel(float(max_correspondence_dist) ** 2, cov_eps),
+        grid=(ns,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, ts), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 10, ts), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ns, _NOUT), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ns, _NOUT), jnp.float32),
+        interpret=interpret,
+    )(T16, src10, best)
     acc = jnp.sum(out, axis=0)
     return _unpack_accumulators(acc, src_xyz.dtype)
 

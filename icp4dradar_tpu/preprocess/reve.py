@@ -69,19 +69,28 @@ def estimate_ego_velocity(
     is_zero = med < cfg.thresh_zero_velocity
 
     # ---- batched 3-point RANSAC ----
+    # inverse-CDF sampling (one (3H, N) crossing count, no Gumbel tile) and
+    # ONE fused gather for all 3H sample rows
     H = cfg.ransac_iterations * 4           # widen the fixed batch a little
-    keys = jax.random.split(key, 3)
-    picks = []
-    for i in range(3):
-        g = jax.random.gumbel(keys[i], (H, scan.mask.shape[0]))
-        scores = jnp.where(gated[None, :], g, -jnp.inf)
-        picks.append(jnp.argmax(scores, axis=-1))
-    D = jnp.stack([d[p] for p in picks], axis=1)        # (H,3,3)
-    y = jnp.stack([vr[p] for p in picks], axis=1)       # (H,3)
-    # Solve D v = y per hypothesis; singular samples give huge residuals and
-    # lose the vote. Regularize lightly to avoid NaN.
-    eye = jnp.eye(3, dtype=D.dtype) * 1e-9
-    v_hyp = jnp.linalg.solve(D + eye[None], y[..., None])[..., 0]   # (H,3)
+    c = jnp.cumsum(gated.astype(jnp.float32))
+    u = jax.random.uniform(key, (3 * H,)) * c[-1]
+    picks = jnp.clip(jnp.sum(c[None, :] <= u[:, None], axis=-1),
+                     0, scan.mask.shape[0] - 1)
+    payload = jnp.concatenate([d, vr[:, None]], axis=-1)[picks]  # (3H, 4)
+    D = payload[:, :3].reshape(H, 3, 3)
+    y = payload[:, 3].reshape(H, 3)
+    # Solve D v = y per hypothesis by Cramer's rule (a batched LAPACK solve
+    # on 3x3s is pathologically slow on TPU); singular samples give huge
+    # residuals and lose the vote.
+    r0, r1, r2 = D[:, 0], D[:, 1], D[:, 2]
+    cross12 = jnp.cross(r1, r2)
+    det = jnp.sum(r0 * cross12, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    # inverse columns are the row cross products: D^-1 = [r1xr2 | r2xr0 |
+    # r0xr1] / det, so v = (y0 r1xr2 + y1 r2xr0 + y2 r0xr1) / det
+    v_hyp = (y[:, 0:1] * cross12
+             + y[:, 1:2] * jnp.cross(r2, r0)
+             + y[:, 2:3] * jnp.cross(r0, r1)) * inv_det[:, None]  # (H,3)
     v_hyp = jnp.nan_to_num(v_hyp, nan=0.0, posinf=0.0, neginf=0.0)
     resid = jnp.abs(d @ v_hyp.T - vr[:, None])          # (N,H)
     inl = (resid < cfg.inlier_thresh) & gated[:, None]

@@ -23,6 +23,7 @@ from icp4dradar_tpu.geom.linalg import solve_psd
 from icp4dradar_tpu.ops.vgicp_fused import (
     radar_point_covariances_packed,
     vgicp_iteration,
+    vgicp_iteration_frozen,
     vgicp_iteration_xla,
 )
 from icp4dradar_tpu.registration.gicp import GicpResult
@@ -62,19 +63,36 @@ def vgicp_align(
     T0 = T0.at[:3, 3].set(jnp.zeros_like(center))
     tgt_mean = tgt_mean - center[None, :]
 
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         it_fn = lambda T: vgicp_iteration(
             T, src_xyz, src_mask, src_cov6, tgt_mean, tgt_cov6, tgt_mask,
             max_correspondence_dist=cfg.max_correspondence_dist,
             cov_eps=cfg.cov_epsilon,
             tgt_count=tgt_count,
+            return_best=True,
         )
+        frozen_fn = lambda T, best: vgicp_iteration_frozen(
+            T, src_xyz, src_mask, src_cov6, best,
+            max_correspondence_dist=cfg.max_correspondence_dist,
+            cov_eps=cfg.cov_epsilon,
+        )
+        inner = cfg.inner_gn_steps
     else:
         it_fn = lambda T: vgicp_iteration_xla(
             T, src_xyz, src_mask, src_cov6, tgt_mean, tgt_cov6, tgt_mask,
             max_correspondence_dist=cfg.max_correspondence_dist,
             cov_eps=cfg.cov_epsilon,
-        )
+        ) + (None,)
+        frozen_fn = None
+        inner = 0
+
+    def gn_update(T, H, g):
+        H = H + cfg.lm_lambda * jnp.eye(6, dtype=T.dtype)
+        # guard: with no valid correspondences H ~ lambda*I and g = 0
+        xi = solve_psd(H, -g)
+        xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
+        return se3_exp(xi) @ T, jnp.sum(jnp.abs(xi))
 
     def cond(state):
         T, it, delta, _, _ = state
@@ -82,16 +100,19 @@ def vgicp_align(
 
     def body(state):
         T, it, _, _, _ = state
-        H, g, cost, wsum, d2sum = it_fn(T)
-        H = H + cfg.lm_lambda * jnp.eye(6, dtype=T.dtype)
-        # guard: with no valid correspondences H ~ lambda*I and g = 0
-        xi = solve_psd(H, -g)
-        xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
-        T_new = se3_exp(xi) @ T
-        # fitness from THIS evaluation point: at convergence (|xi| < eps)
+        H, g, cost, wsum, d2sum, best = it_fn(T)
+        T, delta = gn_update(T, H, g)
+        it = it + 1
+        # sweep-free inner steps on the frozen correspondences
+        for _ in range(inner):
+            H, g, cost, wsum, d2sum = frozen_fn(T, best)
+            T, dlt = gn_update(T, H, g)
+            delta = delta + dlt
+            it = it + 1
+        # fitness from the LAST evaluation point: at convergence (|xi| < eps)
         # it matches a final re-evaluation to first order, so we skip the
         # extra kernel pass the reference's getFitnessScore would cost
-        return (T_new, it + 1, jnp.sum(jnp.abs(xi)), wsum, d2sum)
+        return (T, it, delta, wsum, d2sum)
 
     zero = jnp.zeros((), src_xyz.dtype)
     init = (T0, jnp.int32(0), jnp.asarray(jnp.inf, src_xyz.dtype), zero, zero)

@@ -152,3 +152,43 @@ class TestFusedIcpMoments:
         # (NN correspondences at identity aren't the true pairs, but with
         #  well-separated points most are; allow slack)
         assert np.isfinite(err)
+
+
+class TestVgicpFrozen:
+    def test_frozen_matches_sweep_at_same_transform(self, rng):
+        """A frozen GN pass at the SAME transform must reproduce the sweep's
+        accumulators exactly (fresh residual == sweep distance)."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.geom import se3_exp
+        from icp4dradar_tpu.ops.vgicp_fused import (
+            radar_point_covariances_packed,
+            vgicp_iteration,
+            vgicp_iteration_frozen,
+        )
+
+        src = rng.uniform(-20, 20, (256, 3)).astype(np.float32)
+        sm = (rng.uniform(size=256) > 0.1).astype(np.float32)
+        scov = radar_point_covariances_packed(jnp.asarray(src))
+        tgt = rng.uniform(-20, 20, (512, 3)).astype(np.float32)
+        tcov = np.abs(rng.normal(0.05, 0.02, (512, 6))).astype(np.float32)
+        count = 400
+        tmask = (np.arange(512) < count).astype(np.float32)
+        T = se3_exp(jnp.asarray([0.1, -0.2, 0.05, 0.02, 0.0, 0.1],
+                                dtype=jnp.float32))
+
+        H1, g1, c1, w1, d1, best = vgicp_iteration(
+            T, jnp.asarray(src), jnp.asarray(sm), scov, jnp.asarray(tgt),
+            jnp.asarray(tcov), jnp.asarray(tmask),
+            tgt_count=jnp.int32(count), ts=128, interpret=True,
+            return_best=True,
+        )
+        H2, g2, c2, w2, d2 = vgicp_iteration_frozen(
+            T, jnp.asarray(src), jnp.asarray(sm), scov, best,
+            ts=128, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5,
+                                   atol=1e-5)
+        assert float(w2) == float(w1)
+        np.testing.assert_allclose(float(d2), float(d1), rtol=1e-4)
