@@ -6,6 +6,10 @@ from icp4dradar_tpu.mapping.voxel_hash import (  # noqa: F401
     voxel_map_create,
     voxel_map_insert,
     voxel_map_delete_box,
+    voxel_map_delete_box_acquire,
+    voxel_map_delete_points,
+    voxel_map_add_box,
+    voxel_map_box_search,
     voxel_map_radius_search,
     voxel_map_sector_search,
     voxel_map_stencil_neighbors,

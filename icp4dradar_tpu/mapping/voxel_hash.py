@@ -434,6 +434,78 @@ def voxel_map_delete_box(
     )
 
 
+def voxel_map_delete_points(
+    vmap: VoxelHashMap,
+    pts: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> VoxelHashMap:
+    """Delete the voxels containing the given points (ikd-Tree
+    `Delete_Points` / `Delete_by_point`, ikd_Tree.cpp:522-542). Granularity
+    is the voxel: the map stores one representative per voxel, so deleting
+    "a point" tombstones its voxel. Unmatched points are no-ops."""
+    n = pts.shape[0]
+    if mask is None:
+        mask = jnp.ones(n, dtype=pts.dtype)
+    C = vmap.capacity
+    coords = _voxel_coords(pts, vmap.voxel_size)
+    h = _hash(coords, C)
+    valid = mask > 0.5
+
+    slot_found = jnp.full((n,), C, dtype=jnp.int32)
+
+    def probe(carry, j):
+        slot_found = carry
+        slot = (h + j) & (C - 1)
+        hit = (jnp.all(vmap.keys[slot] == coords, axis=-1)
+               & (vmap.occupied[slot] > 0.5) & valid & (slot_found >= C))
+        return jnp.where(hit, slot, slot_found), None
+
+    slot_found, _ = jax.lax.scan(
+        probe, slot_found, jnp.arange(vmap.max_probes, dtype=jnp.int32))
+
+    idx = jnp.where(slot_found < C, slot_found, C)
+    occ = vmap.occupied.at[idx].set(0.0, mode="drop")
+    sn = vmap.stat_n.at[idx].set(0.0, mode="drop")
+    ss = vmap.stat_sum.at[idx].set(0.0, mode="drop")
+    sq = vmap.stat_sq.at[idx].set(0.0, mode="drop")
+    return vmap.replace(occupied=occ, stat_n=sn, stat_sum=ss, stat_sq=sq)
+
+
+def voxel_map_add_box(
+    vmap: VoxelHashMap, lo: jnp.ndarray, hi: jnp.ndarray
+) -> VoxelHashMap:
+    """Reverse a box delete: revive tombstoned voxels whose stored point
+    lies in [lo, hi] (ikd-Tree `Add_Point_Boxes` / `Add_by_range`,
+    ikd_Tree.cpp:500-519 — flips lazy-delete flags back inside the box).
+    Revived voxels keep their representative point/intensity; Gaussian
+    accumulators restart (they were cleared at delete), so the voxel carries
+    the isotropic fallback covariance until re-observed."""
+    has_key = vmap.keys[:, 0] != _EMPTY
+    inside = jnp.all((vmap.points >= lo) & (vmap.points <= hi), axis=-1)
+    revive = has_key & inside & (vmap.occupied <= 0.5)
+    return vmap.replace(
+        occupied=jnp.where(revive, 1.0, vmap.occupied))
+
+
+def voxel_map_delete_box_acquire(
+    vmap: VoxelHashMap,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    out_size: int,
+) -> Tuple[VoxelHashMap, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Box delete that also returns the removed representative points
+    (compacted to (out_size, 3) + mask + count). The functional counterpart
+    of ikd-Tree's deleted-points drain `acquire_removed_points`
+    (ikd_Tree.cpp:567-581) and the `Delete_Point_Boxes` removal count
+    (:544-564) — no hidden mutable buffer; the delete op itself hands back
+    what it removed."""
+    inside = jnp.all((vmap.points >= lo) & (vmap.points <= hi), axis=-1)
+    kill = (vmap.occupied > 0.5) & inside
+    pts, mask, count = mask_compact(
+        vmap.points, kill.astype(vmap.points.dtype), out_size)
+    return voxel_map_delete_box(vmap, lo, hi), pts, mask, count
+
+
 def voxel_map_stencil_neighbors(
     vmap: VoxelHashMap,
     queries: jnp.ndarray,

@@ -22,6 +22,7 @@ from icp4dradar_tpu.models.scan_to_map import (  # noqa: F401
     scan_to_map_step,
     run_scan_to_map,
     run_scan_to_map_batch,
+    run_scan_to_map_blocked,
 )
 from icp4dradar_tpu.models.submap import SubmapAccumulator  # noqa: F401
 from icp4dradar_tpu.models.local_map import local_map_refinement, build_windows  # noqa: F401

@@ -87,6 +87,9 @@ def main(argv=None) -> int:
     p.add_argument("--doppler-prior", action="store_true")
     p.add_argument("--static-only", action="store_true",
                    help="register on static points only (ref USE_STATIC_POINTS)")
+    p.add_argument("--map-interval", type=int, default=1,
+                   help="scan_to_map: amortize sector query + insert over "
+                        "this many frames (run_scan_to_map_blocked)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args(argv)
 
@@ -103,6 +106,7 @@ def main(argv=None) -> int:
         MetricsLogger, ate_rmse, write_result_csv, write_rt_txt, write_tum,
         write_velocity_txt,
     )
+    from icp4dradar_tpu.utils.trajectory import write_pcl_info
 
     cfg = PipelineConfig()
     if args.config:
@@ -152,10 +156,20 @@ def main(argv=None) -> int:
             np.asarray(outs.sine_A), np.asarray(outs.sine_b),
         )
     else:
-        state, outs = run_scan_to_map(
-            scans, cfg, use_doppler_prior=not args.static_only or args.doppler_prior,
-            prior_deltas=prior_deltas,
-        )
+        if args.map_interval > 1:
+            from icp4dradar_tpu.models import run_scan_to_map_blocked
+
+            state, outs = run_scan_to_map_blocked(
+                scans, cfg, block=args.map_interval,
+                use_doppler_prior=not args.static_only or args.doppler_prior,
+                prior_deltas=prior_deltas,
+            )
+        else:
+            state, outs = run_scan_to_map(
+                scans, cfg,
+                use_doppler_prior=not args.static_only or args.doppler_prior,
+                prior_deltas=prior_deltas,
+            )
         jax.block_until_ready(outs.world_T)
         elapsed = time.time() - t0
         poses = np.asarray(outs.world_T)
@@ -173,6 +187,8 @@ def main(argv=None) -> int:
         write_rt_txt(os.path.join(args.out, "icp_map.txt"), T_map)
 
     write_tum(os.path.join(args.out, "odom_tum.txt"), poses)
+    write_pcl_info(os.path.join(args.out, "pcl_info.txt"),
+                   np.asarray(scans.mask).sum(axis=-1))
 
     if args.viz:
         from icp4dradar_tpu.utils import export_map_ply, write_html_viewer

@@ -92,6 +92,16 @@ def read_result_csv(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.n
     return times, T, arr[:, 17], arr[:, 18], arr[:, 19]
 
 
+def write_pcl_info(path: str, point_counts: np.ndarray) -> None:
+    """Per-frame raw point counts -> one count per line (pcl_info.txt,
+    src/iterative_closest_point.cpp:182-186,325)."""
+    _ensure_dir(path)
+    counts = np.asarray(point_counts)
+    with open(path, "w") as f:
+        for c in counts:
+            f.write(f"{float(c):g}\n")
+
+
 def write_tum(path: str, poses: np.ndarray, times: Optional[np.ndarray] = None) -> None:
     """(F, 4, 4) world poses -> TUM rows 'time tx ty tz qx qy qz qw'."""
     from icp4dradar_tpu.geom.so3 import matrix_to_quat

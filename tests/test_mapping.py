@@ -168,6 +168,55 @@ class TestDelete:
         assert int(m.num_voxels) == n0
 
 
+class TestDeleteApi:
+    def test_delete_points(self, rng):
+        from icp4dradar_tpu.mapping import voxel_map_delete_points
+
+        pts = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
+        m = voxel_map_create(capacity=1 << 10, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        n0 = int(m.num_voxels)
+        stored = np.asarray(m.points)[np.asarray(m.occupied) > 0.5]
+        kill = stored[:20]
+        m = voxel_map_delete_points(m, jnp.asarray(kill))
+        assert int(m.num_voxels) == n0 - 20
+        # deleted voxels no longer contain the killed points
+        left = np.asarray(m.points)[np.asarray(m.occupied) > 0.5]
+        for p in kill:
+            assert not (np.abs(left - p).max(-1) < 1e-6).any()
+        # deleting points not in the map is a no-op
+        m2 = voxel_map_delete_points(m, jnp.asarray(kill + 1000.0))
+        assert int(m2.num_voxels) == int(m.num_voxels)
+
+    def test_add_box_reverses_delete_box(self, rng):
+        from icp4dradar_tpu.mapping import voxel_map_add_box
+
+        pts = rng.uniform(-5, 5, (300, 3)).astype(np.float32)
+        m = voxel_map_create(capacity=1 << 10, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        n0 = int(m.num_voxels)
+        lo, hi = jnp.asarray([-5.0, -5, -5]), jnp.asarray([0.0, 5, 5])
+        m = voxel_map_delete_box(m, lo, hi)
+        assert int(m.num_voxels) < n0
+        m = voxel_map_add_box(m, lo, hi)
+        assert int(m.num_voxels) == n0
+
+    def test_delete_box_acquire_returns_removed(self, rng):
+        from icp4dradar_tpu.mapping import voxel_map_delete_box_acquire
+
+        pts = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
+        m = voxel_map_create(capacity=1 << 10, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        n0 = int(m.num_voxels)
+        lo, hi = jnp.asarray([-5.0, -5, -5]), jnp.asarray([0.0, 5, 5])
+        m, removed, mask, count = voxel_map_delete_box_acquire(
+            m, lo, hi, out_size=256)
+        assert int(count) == n0 - int(m.num_voxels)
+        got = np.asarray(removed)[np.asarray(mask) > 0.5]
+        assert (got[:, 0] <= 0).all()
+        assert len(got) == int(count)
+
+
 class TestVoxelStats:
     def test_gaussian_matches_oracle(self, rng):
         # many points into few voxels: per-voxel mean/cov match numpy

@@ -88,6 +88,37 @@ class TestScanToMap:
         # after the first frame, sector submaps are non-empty
         assert (np.asarray(outs.submap_points)[2:] > 50).all()
 
+    def test_blocked_matches_per_frame(self):
+        # amortized map updates (one sector query + one insert per block)
+        # must track the same trajectory as per-frame updates
+        from icp4dradar_tpu.models import run_scan_to_map_blocked
+
+        seq = make_seq(frames=16)
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        cfg = small_cfg()
+        _, ref = run_scan_to_map(scans, cfg)
+        state, outs = run_scan_to_map_blocked(scans, cfg, block=4)
+        poses = np.asarray(outs.world_T)
+        assert poses.shape == np.asarray(ref.world_T).shape
+        ate = ate_rmse(poses[:, :3, 3], seq.poses[:, :3, 3], align=False)
+        assert ate < 0.5, ate
+        # close to the per-frame runner (RNG streams differ, so not exact)
+        ref_ate = ate_rmse(np.asarray(ref.world_T)[:, :3, 3],
+                           seq.poses[:, :3, 3], align=False)
+        assert ate < ref_ate + 0.3, (ate, ref_ate)
+        assert int(state.vmap.num_voxels) > 100
+
+    def test_blocked_bad_shape_raises(self):
+        from icp4dradar_tpu.models import run_scan_to_map_blocked
+
+        seq = make_seq(frames=10)
+        scans = stack_scans([seq.scan(k) for k in range(10)])
+        try:
+            run_scan_to_map_blocked(scans, small_cfg(), block=4)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
     def test_gt_pose_mode_reference_parity(self):
         # feeding GT poses (ref GT-as-mapping-pose coupling) keeps corrections tiny
         seq = make_seq(frames=8)
