@@ -82,13 +82,16 @@ def main() -> int:
           f"({scans_per_sec:.1f} scans/s), sanity ATE {ate:.3f} m",
           file=sys.stderr)
 
-    # secondary: flagship scan-to-map VGICP tracking (sequential map updates)
+    # secondary: flagship scan-to-map VGICP tracking (blocked runner: one
+    # sector query + one batched insert per 8 frames; see
+    # models/scan_to_map.py::run_scan_to_map_blocked)
     try:
-        from icp4dradar_tpu.models import run_scan_to_map
+        from icp4dradar_tpu.models import run_scan_to_map_blocked
 
         F2 = 64
         scans2 = jax.tree.map(lambda x: x[:F2], scans)
-        run2 = jax.jit(lambda s: run_scan_to_map(s, cfg)[1].world_T)
+        run2 = jax.jit(
+            lambda s: run_scan_to_map_blocked(s, cfg, block=8)[1].world_T)
         poses2 = run2(scans2)
         jax.block_until_ready(poses2)
         t0 = time.time()
