@@ -91,7 +91,8 @@ def main() -> int:
         F2 = 64
         scans2 = jax.tree.map(lambda x: x[:F2], scans)
         run2 = jax.jit(
-            lambda s: run_scan_to_map_blocked(s, cfg, block=8)[1].world_T)
+            lambda s: run_scan_to_map_blocked(
+                s, cfg, block=8, use_const_velocity_rot=True)[1].world_T)
         poses2 = run2(scans2)
         jax.block_until_ready(poses2)
         t0 = time.time()

@@ -208,6 +208,19 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
+def so3_project(R: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
+    """Project a near-rotation matrix onto SO(3) (Newton polar iteration
+    R <- R (3I - R^T R)/2, batched). Needed wherever an extracted rotation is
+    re-multiplied into a pose chain frame after frame: f32 matmul drift makes
+    ||R^T R - I|| grow, and matrix POWERS of a slightly scaled matrix explode
+    exponentially (measured: constant-velocity rotation priors blew a
+    trajectory to NaN within 10 frames without this)."""
+    eye = jnp.eye(3, dtype=R.dtype)
+    for _ in range(iters):
+        R = R @ (1.5 * eye - 0.5 * (jnp.swapaxes(R, -1, -2) @ R))
+    return R
+
+
 def matrix_to_rpy(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix -> (roll, pitch, yaw) in DEGREES, matching the
     reference's `R2rpy` (src/radar_odometry.cpp:120-135) which feeds the

@@ -26,7 +26,7 @@ from flax import struct
 
 from icp4dradar_tpu.config import PipelineConfig
 from icp4dradar_tpu.geom import se3_apply, se3_identity, se3_inverse
-from icp4dradar_tpu.geom.so3 import matrix_to_rpy
+from icp4dradar_tpu.geom.so3 import matrix_to_rpy, so3_project
 from icp4dradar_tpu.io.scan import RadarScan
 from icp4dradar_tpu.mapping import (
     VoxelHashMap,
@@ -57,6 +57,7 @@ class ScanToMapOutput:
     fitness: jnp.ndarray        # () GICP fitness
     num_inliers: jnp.ndarray    # () inlier point count
     submap_points: jnp.ndarray  # () sector submap size
+    iterations: jnp.ndarray     # () GN sweeps the registration ran
 
 
 def scan_to_map_init(cfg: PipelineConfig = PipelineConfig(), dtype=jnp.float32) -> ScanToMapState:
@@ -152,6 +153,7 @@ def scan_to_map_step(
         fitness=g.fitness,
         num_inliers=jnp.sum(inlier_mask),
         submap_points=sub_n,
+        iterations=g.iterations,
     )
     return new_state, out
 
@@ -164,36 +166,85 @@ def run_scan_to_map(
     insert_before_registration: bool = False,
     use_doppler_prior: bool = True,
     prior_deltas: Optional[jnp.ndarray] = None,
+    use_const_velocity_rot: bool = False,
 ) -> Tuple[ScanToMapState, ScanToMapOutput]:
     """lax.scan the tracked-frame step over a stacked sequence (F, ...) in
     one device call. Returns (final state incl. the built map, stacked
     per-frame outputs). `prior_deltas` (F,4,4): optional per-frame body
-    motion priors (see preprocess.imu)."""
+    motion priors (see preprocess.imu). `use_const_velocity_rot`: predict
+    each frame's heading change from the previous frame's refined body
+    delta (rotation only — translation stays with the measured Doppler
+    prior), cutting GN sweeps on turning trajectories."""
     if key is None:
         key = jax.random.key(cfg.seed)
     F = scans.xyz.shape[0]
     keys = jax.random.split(key, F)
 
     def step(carry, inp):
+        state, prev_rot = carry
         scan, k = inp[0], inp[1]
         rest = inp[2:]
         gt = rest[0] if gt_poses is not None else None
         pd = rest[-1] if prior_deltas is not None else None
-        return scan_to_map_step(
-            carry, scan, k, cfg, gt_pose=gt,
+        if use_const_velocity_rot and pd is None:
+            pd = prev_rot
+        new_state, out = scan_to_map_step(
+            state, scan, k, cfg, gt_pose=gt,
             insert_before_registration=insert_before_registration,
             use_doppler_prior=use_doppler_prior,
             prior_delta=pd,
         )
+        delta = se3_inverse(state.world_T) @ new_state.world_T
+        new_rot = jnp.eye(4, dtype=delta.dtype).at[:3, :3].set(
+            so3_project(delta[:3, :3]))
+        return (new_state, new_rot), out
 
     inputs = [scans, keys]
     if gt_poses is not None:
         inputs.append(gt_poses)
     if prior_deltas is not None:
         inputs.append(jnp.asarray(prior_deltas))
-    state, outs = jax.lax.scan(step, scan_to_map_init(cfg, scans.xyz.dtype),
-                               tuple(inputs))
+    init = (scan_to_map_init(cfg, scans.xyz.dtype),
+            jnp.eye(4, dtype=scans.xyz.dtype))
+    (state, _), outs = jax.lax.scan(step, init, tuple(inputs))
     return state, outs
+
+
+def _sort_scans_by_sensor_x(scans: RadarScan) -> RadarScan:
+    """Reorder every scan's points by sensor-frame x (invalid rows last).
+
+    Point order inside a RadarScan is contractually meaningless (masks ride
+    along), but sorted order makes each 512-point source block of the fused
+    VGICP kernel occupy a narrow band along the forward axis — the
+    precondition for band gating (ops/vgicp_fused.py). ONE batched sort for
+    the whole sequence; every downstream stage is order-invariant."""
+    def one(xyz, dop, inten, mask):
+        key = jnp.where(mask > 0.5, xyz[:, 0],
+                        jnp.asarray(jnp.inf, xyz.dtype))
+        _, xs, ys, zs, d, it, m = jax.lax.sort(
+            (key, xyz[:, 0], xyz[:, 1], xyz[:, 2], dop, inten, mask),
+            num_keys=1)
+        return jnp.stack([xs, ys, zs], axis=-1), d, it, m
+
+    xyz, dop, inten, mask = jax.vmap(one)(
+        scans.xyz, scans.doppler, scans.intensity, scans.mask)
+    return scans.replace(xyz=xyz, doppler=dop, intensity=inten, mask=mask)
+
+
+def _sort_submap_by_axis(sub_mean, sub_cov, submask, axis2):
+    """Sort compacted submap rows by their projection onto `axis2` (2,);
+    invalid rows keep +inf keys so front-packed count gating stays valid."""
+    u = jnp.where(submask > 0.5,
+                  sub_mean[:, 0] * axis2[0] + sub_mean[:, 1] * axis2[1],
+                  jnp.asarray(jnp.inf, sub_mean.dtype))
+    parts = jax.lax.sort(
+        (u, sub_mean[:, 0], sub_mean[:, 1], sub_mean[:, 2],
+         sub_cov[:, 0], sub_cov[:, 1], sub_cov[:, 2], sub_cov[:, 3],
+         sub_cov[:, 4], sub_cov[:, 5], submask),
+        num_keys=1)
+    mean_s = jnp.stack(parts[1:4], axis=-1)
+    cov_s = jnp.stack(parts[4:10], axis=-1)
+    return mean_s, cov_s, parts[10]
 
 
 def run_scan_to_map_blocked(
@@ -203,6 +254,8 @@ def run_scan_to_map_blocked(
     block: int = 4,
     use_doppler_prior: bool = True,
     prior_deltas: Optional[jnp.ndarray] = None,
+    use_const_velocity_rot: bool = False,
+    use_band_gating: bool = True,
 ) -> Tuple[ScanToMapState, ScanToMapOutput]:
     """Scan-to-map tracking with map updates amortized over `block` frames.
 
@@ -225,7 +278,8 @@ def run_scan_to_map_blocked(
     if block <= 1 or F <= block:
         return run_scan_to_map(
             scans, cfg, key=key, use_doppler_prior=use_doppler_prior,
-            prior_deltas=prior_deltas)
+            prior_deltas=prior_deltas,
+            use_const_velocity_rot=use_const_velocity_rot)
     if (F - block) % block != 0:
         raise ValueError(
             f"run_scan_to_map_blocked needs (F - block) % block == 0, got "
@@ -234,41 +288,67 @@ def run_scan_to_map_blocked(
     F0 = block                         # warmup frames (per-frame updates)
     nblocks = (F - F0) // block
     kwarm, kblocks = jax.random.split(key)
+    if use_band_gating:
+        # band gating precondition: source blocks must occupy narrow bands
+        # along the forward axis (one batched sort for the whole sequence)
+        scans = _sort_scans_by_sensor_x(scans)
 
     warm_scans = jax.tree.map(lambda x: x[:F0], scans)
     warm_pd = None if prior_deltas is None else jnp.asarray(prior_deltas)[:F0]
     state, warm_outs = run_scan_to_map(
         warm_scans, cfg, key=kwarm, use_doppler_prior=use_doppler_prior,
-        prior_deltas=warm_pd)
+        prior_deltas=warm_pd, use_const_velocity_rot=use_const_velocity_rot)
+    warm_delta = se3_inverse(warm_outs.world_T[-2]) @ warm_outs.world_T[-1]
+    prev_rot0 = jnp.eye(4, dtype=scans.xyz.dtype).at[:3, :3].set(
+        so3_project(warm_delta[:3, :3]))
 
     rest = jax.tree.map(
         lambda x: x[F0:].reshape((nblocks, block) + x.shape[1:]), scans)
-    keys = jax.random.split(kblocks, nblocks * block).reshape(nblocks, block)
+    keys_flat = jax.random.split(kblocks, nblocks * block)
     rest_pd = (None if prior_deltas is None else
                jnp.asarray(prior_deltas)[F0:].reshape(nblocks, block, 4, 4))
+
+    # Frame-parallel precompute — REVE ego velocity and the measurement-model
+    # scan covariances depend only on the raw scan, never on the pose chain,
+    # so ONE vmapped dispatch replaces (F - F0) sequential evaluations inside
+    # the scan (the per-frame runner can't do this; the frozen-submap design
+    # makes preprocessing embarrassingly parallel again).
+    rest_flat = jax.tree.map(lambda x: x[F0:], scans)
+    est_all = jax.vmap(
+        lambda s, k: estimate_ego_velocity(s, k, cfg.reve)
+    )(rest_flat, keys_flat)
+    est_blocks = jax.tree.map(
+        lambda x: x.reshape((nblocks, block) + x.shape[1:]), est_all)
+    NP = scans.xyz.shape[1]
+    cov_blocks = radar_point_covariances_packed(
+        rest_flat.xyz.reshape(-1, 3), cfg.gicp.sigma_range,
+        cfg.gicp.sigma_azimuth, cfg.gicp.sigma_elevation,
+    ).reshape(nblocks, block, NP, 6)
 
     def frame_step(carry, inp):
         """Register one frame against the frozen block submap; emit the
         corrected world points for the deferred insert."""
-        pose, frozen = carry
-        sub_mean, sub_cov, submask, sub_n = frozen
-        scan, k = inp[0], inp[1]
-        pd = inp[2] if rest_pd is not None else None
-        est = estimate_ego_velocity(scan, k, cfg.reve)
+        pose, prev_rot, frozen = carry
+        sub_mean, sub_cov, submask, sub_n, axis2 = frozen
+        scan, est, src_cov6 = inp[0], inp[1], inp[2]
+        pd = inp[3] if rest_pd is not None else None
+        pose_in = pose
         if pd is not None:
             pose = pose @ pd
+        elif use_const_velocity_rot:
+            pose = pose @ prev_rot
         if use_doppler_prior:
             pose = pose.at[:3, 3].add(jnp.where(
                 est.valid, pose[:3, :3] @ est.velocity,
                 jnp.zeros_like(est.velocity)))
-        src_cov6 = radar_point_covariances_packed(
-            scan.xyz, cfg.gicp.sigma_range, cfg.gicp.sigma_azimuth,
-            cfg.gicp.sigma_elevation)
         g = vgicp_align(
             scan.xyz, sub_mean, sub_cov, est.inlier_mask, submask,
             src_cov6=src_cov6, init_transform=pose, cfg=cfg.gicp,
-            tgt_count=sub_n)
+            tgt_count=sub_n, gate_axis=axis2)
         new_T = g.transform
+        delta = se3_inverse(pose_in) @ new_T
+        new_rot = jnp.eye(4, dtype=delta.dtype).at[:3, :3].set(
+            so3_project(delta[:3, :3]))
         world_pts = se3_apply(new_T, scan.xyz)
         out = ScanToMapOutput(
             world_T=new_T,
@@ -279,12 +359,14 @@ def run_scan_to_map_blocked(
             fitness=g.fitness,
             num_inliers=jnp.sum(est.inlier_mask),
             submap_points=sub_n,
+            iterations=g.iterations,
         )
-        return (new_T, frozen), (out, world_pts, est.inlier_mask,
-                                 scan.intensity)
+        return (new_T, new_rot, frozen), (out, world_pts, est.inlier_mask,
+                                          scan.intensity)
 
-    def block_step(state, inp):
-        scans_b, keys_b = inp[0], inp[1]
+    def block_step(carry, inp):
+        state, prev_rot = carry
+        scans_b, est_b, cov_b = inp[0], inp[1], inp[2]
         pose0 = state.world_T
         heading = matrix_to_rpy(pose0[:3, :3])[2]
         _, submask, sub_n, sub_mean, sub_cov = (
@@ -293,11 +375,22 @@ def run_scan_to_map_blocked(
                 vmcfg.sector_half_angle_deg, vmcfg.submap_max_points,
             )
         )
-        frame_in = [scans_b, keys_b]
+        if use_band_gating:
+            # sort the frozen submap by the block-start forward axis; within
+            # a block the heading drifts by at most `block` frames of motion,
+            # so per-frame bands stay tight against these tiles
+            hrad = heading * (jnp.pi / 180.0)
+            axis2 = jnp.stack([jnp.cos(hrad), jnp.sin(hrad)])
+            sub_mean, sub_cov, submask = _sort_submap_by_axis(
+                sub_mean, sub_cov, submask, axis2)
+        else:
+            axis2 = None
+        frame_in = [scans_b, est_b, cov_b]
         if rest_pd is not None:
-            frame_in.append(inp[2])
-        (pose, _), (outs, world_pts, masks, intens) = jax.lax.scan(
-            frame_step, (pose0, (sub_mean, sub_cov, submask, sub_n)),
+            frame_in.append(inp[3])
+        (pose, prev_rot, _), (outs, world_pts, masks, intens) = jax.lax.scan(
+            frame_step,
+            (pose0, prev_rot, (sub_mean, sub_cov, submask, sub_n, axis2)),
             tuple(frame_in))
         vmap = voxel_map_insert(
             state.vmap,
@@ -305,12 +398,13 @@ def run_scan_to_map_blocked(
             masks.reshape(-1),
             intens.reshape(-1),
         )
-        return ScanToMapState(world_T=pose, vmap=vmap), outs
+        return (ScanToMapState(world_T=pose, vmap=vmap), prev_rot), outs
 
-    block_in = [rest, keys]
+    block_in = [rest, est_blocks, cov_blocks]
     if rest_pd is not None:
         block_in.append(rest_pd)
-    state, blk_outs = jax.lax.scan(block_step, state, tuple(block_in))
+    (state, _), blk_outs = jax.lax.scan(block_step, (state, prev_rot0),
+                                        tuple(block_in))
     blk_outs = jax.tree.map(
         lambda x: x.reshape((nblocks * block,) + x.shape[2:]), blk_outs)
     outs = jax.tree.map(

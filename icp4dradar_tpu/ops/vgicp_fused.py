@@ -87,16 +87,23 @@ def _sym_inv3(c6, eps):
             D * inv_det, E * inv_det, F * inv_det]
 
 
-def _make_vgicp_kernel(max_d2: float, cov_eps: float):
+def _make_vgicp_kernel(max_d2: float, cov_eps: float, use_gate: bool):
     gate = min(float(max_d2), float(_BIG) * 0.5)
+    dmax = gate ** 0.5
 
-    def kernel(cnt_ref, T_ref, src_ref, tgt_ref, best_ref, out_ref):
+    def kernel(cnt_ref, bounds_ref, axis_ref, T_ref, src_ref, tgt_ref,
+               best_ref, out_ref):
         # grid (ns, nt): i over source blocks, j over target tiles. The
         # running best correspondence (d2, mean, cov) per source point lives
         # in best_ref (10, TS) rows: [d2, q0..q2, cb0..cb5]; the GN
-        # accumulators are emitted on the last target tile. Target tiles
-        # entirely past the submap's live count (compaction packs valid rows
-        # to the front) skip the NN work.
+        # accumulators are emitted on the last target tile. Two tile-skip
+        # gates: target tiles entirely past the submap's live count
+        # (compaction packs valid rows to the front), and — when the caller
+        # supplies a forward axis + per-tile bounds over SORTED inputs —
+        # (i, j) pairs whose 1-D projections are farther apart than the
+        # correspondence gate can never contribute a usable match (band
+        # gating; correctness never depends on sortedness because the bounds
+        # come from the actual tile contents).
         i = pl.program_id(0)
         j = pl.program_id(1)
         nt = pl.num_programs(1)
@@ -118,7 +125,17 @@ def _make_vgicp_kernel(max_d2: float, cov_eps: float):
             row10 = jax.lax.broadcasted_iota(jnp.int32, (10, ts), 0)
             best_ref[i, :, :] = jnp.where(row10 == 0, 1e30, 0.0)
 
-        @pl.when((j == 0) | (j * tm < cnt_ref[0, 0]))
+        do_nn = (j == 0) | (j * tm < cnt_ref[0, 0])
+        if use_gate:
+            u = axis_ref[0, 0] * p[0] + axis_ref[0, 1] * p[1]
+            uv = w_src > 0.0
+            umin = jnp.min(jnp.where(uv, u, jnp.float32(1e30)))
+            umax = jnp.max(jnp.where(uv, u, jnp.float32(-1e30)))
+            overlap = ((bounds_ref[j, 0] <= umax + dmax)
+                       & (bounds_ref[j, 1] >= umin - dmax))
+            do_nn = (j * tm < cnt_ref[0, 0]) & overlap
+
+        @pl.when(do_nn)
         def _():
             t = tgt_ref[:]                # (TM, 10): mean3, cov6, penalty
             # NN against this tile's voxel means (K=3 MXU cross-term
@@ -284,6 +301,7 @@ def vgicp_iteration(
     interpret: bool = False,
     tgt_count: Optional[jnp.ndarray] = None,
     return_best: bool = False,
+    gate_axis: Optional[jnp.ndarray] = None,
 ):
     """One fused GN pass -> (H (6,6), g (6,), cost, wsum, d2sum)
     [+ the (ns, 10, ts) matched payload when `return_best` — feed it to
@@ -291,7 +309,13 @@ def vgicp_iteration(
 
     `tgt_count`: number of live target rows IF the valid rows are packed to
     the front (mask_compact output) — lets the kernel skip dead tiles. Leave
-    None for arbitrary masks (every tile is scanned)."""
+    None for arbitrary masks (every tile is scanned).
+
+    `gate_axis` (2,): horizontal direction for band gating. When src/tgt rows
+    are SORTED by their projection onto this axis, source blocks and target
+    tiles occupy narrow 1-D bands and the kernel skips every (block, tile)
+    pair whose bands are farther apart than max_correspondence_dist. Unsorted
+    inputs stay correct (bounds are measured per tile), just unskippable."""
     n, m = src_xyz.shape[0], tgt_mean.shape[0]
     if tgt_count is None:
         tgt_count = jnp.asarray(m, jnp.int32)
@@ -320,11 +344,26 @@ def vgicp_iteration(
     ns = np_ // ts
     nt = tgt10.shape[0] // tm_tile
     cnt = jnp.reshape(tgt_count.astype(jnp.int32), (1, 1))
+    use_gate = gate_axis is not None
+    if use_gate:
+        axis2 = jnp.reshape(gate_axis.astype(jnp.float32), (1, 2))
+        u_t = tgt10[:, 0] * axis2[0, 0] + tgt10[:, 1] * axis2[0, 1]
+        live = (tgt10[:, 9] < float(_BIG) * 0.5)
+        u_lo = jnp.where(live, u_t, 1e30).reshape(nt, tm_tile).min(axis=1)
+        u_hi = jnp.where(live, u_t, -1e30).reshape(nt, tm_tile).max(axis=1)
+        bounds = jnp.stack([u_lo, u_hi], axis=-1)            # (nt, 2)
+    else:
+        axis2 = jnp.zeros((1, 2), jnp.float32)
+        bounds = jnp.zeros((nt, 2), jnp.float32)
     best, out = pl.pallas_call(
-        _make_vgicp_kernel(float(max_correspondence_dist) ** 2, cov_eps),
+        _make_vgicp_kernel(float(max_correspondence_dist) ** 2, cov_eps,
+                           use_gate),
         grid=(ns, nt),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nt, 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((10, ts), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm_tile, 10), lambda i, j: (j, 0),
@@ -341,7 +380,7 @@ def vgicp_iteration(
             jax.ShapeDtypeStruct((ns, _NOUT), jnp.float32),
         ],
         interpret=interpret,
-    )(cnt, T16, src10, tgt10)
+    )(cnt, bounds, axis2, T16, src10, tgt10)
     acc = jnp.sum(out, axis=0)
     unpacked = _unpack_accumulators(acc, src_xyz.dtype)
     return unpacked + (best,) if return_best else unpacked

@@ -39,6 +39,7 @@ def vgicp_align(
     init_transform: Optional[jnp.ndarray] = None,
     cfg: GicpConfig = GicpConfig(),
     tgt_count: Optional[jnp.ndarray] = None,
+    gate_axis: Optional[jnp.ndarray] = None,
 ) -> GicpResult:
     """Align a scan onto voxel distributions (means + packed covariances).
 
@@ -46,7 +47,11 @@ def vgicp_align(
     (the optimization refines it; identity-seeded calls behave like the
     reference's correction-transform usage). `tgt_count` (optional): live
     target row count when valid rows are front-packed (compaction output) —
-    lets the fused kernel skip dead tiles."""
+    lets the fused kernel skip dead tiles. `gate_axis` (2,): band-gating
+    direction — pass it when BOTH the scan and the submap rows are sorted by
+    their projection onto this axis so the kernel can skip (source block,
+    target tile) pairs farther apart than the correspondence gate (see
+    ops/vgicp_fused.py)."""
     if src_mask is None:
         src_mask = jnp.ones(src_xyz.shape[0], dtype=src_xyz.dtype)
     if tgt_mask is None:
@@ -71,6 +76,7 @@ def vgicp_align(
             cov_eps=cfg.cov_epsilon,
             tgt_count=tgt_count,
             return_best=True,
+            gate_axis=gate_axis,
         )
         frozen_fn = lambda T, best: vgicp_iteration_frozen(
             T, src_xyz, src_mask, src_cov6, best,

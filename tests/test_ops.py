@@ -192,3 +192,73 @@ class TestVgicpFrozen:
                                    atol=1e-5)
         assert float(w2) == float(w1)
         np.testing.assert_allclose(float(d2), float(d1), rtol=1e-4)
+
+
+class TestVgicpBandGating:
+    def test_gated_sweep_matches_ungated_on_sorted_inputs(self, rng):
+        """Band gating must be a pure optimization: with src/tgt sorted along
+        the gate axis, the gated kernel's accumulators equal the ungated
+        ones (pairs it skips are provably outside the correspondence gate)."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.geom import se3_exp
+        from icp4dradar_tpu.ops.vgicp_fused import (
+            radar_point_covariances_packed,
+            vgicp_iteration,
+        )
+
+        src = rng.uniform(-30, 30, (512, 3)).astype(np.float32)
+        sm = (rng.uniform(size=512) > 0.1).astype(np.float32)
+        # sort source by x with invalid rows last (the runner's precondition)
+        order = np.lexsort((np.where(sm > 0.5, src[:, 0], np.inf),))
+        src, sm = src[order], sm[order]
+        scov = radar_point_covariances_packed(jnp.asarray(src))
+        tgt = rng.uniform(-30, 30, (1024, 3)).astype(np.float32)
+        tcov = np.abs(rng.normal(0.05, 0.02, (1024, 6))).astype(np.float32)
+        count = 900
+        tmask = (np.arange(1024) < count).astype(np.float32)
+        torder = np.lexsort((np.where(tmask > 0.5, tgt[:, 0], np.inf),))
+        tgt, tcov, tmask = tgt[torder], tcov[torder], tmask[torder]
+        T = se3_exp(jnp.asarray([0.1, -0.2, 0.05, 0.02, 0.0, 0.1],
+                                dtype=jnp.float32))
+
+        args = (T, jnp.asarray(src), jnp.asarray(sm), scov, jnp.asarray(tgt),
+                jnp.asarray(tcov), jnp.asarray(tmask))
+        kw = dict(tgt_count=jnp.int32(count), ts=64, interpret=True,
+                  max_correspondence_dist=2.0)
+        H1, g1, c1, w1, d1 = vgicp_iteration(*args, **kw)
+        H2, g2, c2, w2, d2 = vgicp_iteration(
+            *args, **kw, gate_axis=jnp.asarray([1.0, 0.0], jnp.float32))
+        np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-6,
+                                   atol=1e-7)
+        assert float(w2) == float(w1)
+        np.testing.assert_allclose(float(d2), float(d1), rtol=1e-6)
+        np.testing.assert_allclose(float(c2), float(c1), rtol=1e-6)
+
+    def test_gated_sweep_correct_on_unsorted_inputs(self, rng):
+        """Unsorted inputs make gating unselective but never wrong."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.ops.vgicp_fused import (
+            radar_point_covariances_packed,
+            vgicp_iteration,
+        )
+
+        src = rng.uniform(-30, 30, (256, 3)).astype(np.float32)
+        sm = np.ones(256, np.float32)
+        scov = radar_point_covariances_packed(jnp.asarray(src))
+        tgt = rng.uniform(-30, 30, (512, 3)).astype(np.float32)
+        tcov = np.abs(rng.normal(0.05, 0.02, (512, 6))).astype(np.float32)
+        tmask = np.ones(512, np.float32)
+        T = jnp.eye(4, dtype=jnp.float32)
+        args = (T, jnp.asarray(src), jnp.asarray(sm), scov, jnp.asarray(tgt),
+                jnp.asarray(tcov), jnp.asarray(tmask))
+        kw = dict(ts=64, interpret=True, max_correspondence_dist=2.0)
+        H1, g1, c1, w1, d1 = vgicp_iteration(*args, **kw)
+        H2, g2, c2, w2, d2 = vgicp_iteration(
+            *args, **kw, gate_axis=jnp.asarray([0.6, 0.8], jnp.float32))
+        np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-6,
+                                   atol=1e-7)
+        assert float(w2) == float(w1)
