@@ -95,10 +95,13 @@ def main() -> int:
                 s, cfg, block=8, use_const_velocity_rot=True)[1].world_T)
         poses2 = run2(scans2)
         jax.block_until_ready(poses2)
-        t0 = time.time()
-        poses2 = run2(scans2)
-        jax.block_until_ready(poses2)
-        dt2 = time.time() - t0
+        times2 = []
+        for _ in range(2):          # best-of-2: tunnel jitter can double a
+            t0 = time.time()        # single sample (measured 2.3 -> 6 ms)
+            poses2 = run2(scans2)
+            jax.block_until_ready(poses2)
+            times2.append(time.time() - t0)
+        dt2 = min(times2)
         ate2 = ate_rmse(np.asarray(poses2)[:, :3, 3], seq.poses[:F2, :3, 3],
                         align=False)
         print(f"secondary scan_to_map: {dt2*1e3/F2:.2f} ms/frame "
@@ -115,7 +118,8 @@ def main() -> int:
             lambda x: jax.numpy.stack([x[b * F3:(b + 1) * F3] for b in range(B)]),
             scans,
         )
-        run3 = jax.jit(lambda s: run_scan_to_map_batch(s, cfg)[1].world_T)
+        run3 = jax.jit(lambda s: run_scan_to_map_batch(
+            s, cfg, block=8, use_const_velocity_rot=True)[1].world_T)
         jax.block_until_ready(run3(scans3))
         t0 = time.time()
         jax.block_until_ready(run3(scans3))

@@ -416,6 +416,7 @@ def run_scan_to_map_batch(
     scans: RadarScan,
     cfg: PipelineConfig = PipelineConfig(),
     key: Optional[jax.Array] = None,
+    block: int = 0,
     **kwargs,
 ) -> Tuple[ScanToMapState, ScanToMapOutput]:
     """Track B independent sequences at once: `scans` has a leading batch
@@ -425,11 +426,17 @@ def run_scan_to_map_batch(
     Sequential map updates bound single-sequence latency; batching is how a
     serving deployment recovers chip throughput (the multi-chip counterpart
     shards sequences across the mesh, parallel/batch.py). Map memory is
-    ~18 MB/sequence at the default 2^18 capacity."""
+    ~18 MB/sequence at the default 2^18 capacity. `block` > 1 vmaps the
+    blocked runner (amortized map updates) instead of the per-frame one."""
     if key is None:
         key = jax.random.key(cfg.seed)
     B = scans.xyz.shape[0]
     keys = jax.random.split(key, B)
+    if block > 1:
+        return jax.vmap(
+            lambda s, k: run_scan_to_map_blocked(s, cfg, key=k, block=block,
+                                                 **kwargs)
+        )(scans, keys)
     return jax.vmap(
         lambda s, k: run_scan_to_map(s, cfg, key=k, **kwargs)
     )(scans, keys)

@@ -183,3 +183,23 @@ def test_geom_jit_and_vmap(rng):
     xi = jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32))
     f = jax.jit(jax.vmap(lambda x: se3_log(se3_exp(x))))
     np.testing.assert_allclose(np.asarray(f(xi)), np.asarray(xi), atol=1e-4)
+
+
+class TestSo3Project:
+    def test_recovers_orthonormality(self, rng):
+        from icp4dradar_tpu.geom.so3 import so3_exp, so3_project
+
+        R = np.asarray(so3_exp(jnp.asarray([0.3, -0.2, 0.5], jnp.float32)))
+        # scale + noise of the magnitude f32 pose chains accumulate
+        bad = R * 1.002 + 1e-3 * rng.normal(size=(3, 3)).astype(np.float32)
+        Rp = np.asarray(so3_project(jnp.asarray(bad)))
+        err = np.abs(Rp @ Rp.T - np.eye(3)).max()
+        assert err < 1e-5, err
+        # stays close to the original rotation
+        assert np.abs(Rp - R).max() < 5e-3
+
+    def test_identity_fixed_point(self):
+        from icp4dradar_tpu.geom.so3 import so3_project
+
+        Rp = np.asarray(so3_project(jnp.eye(3, dtype=jnp.float32)))
+        np.testing.assert_allclose(Rp, np.eye(3), atol=1e-7)

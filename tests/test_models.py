@@ -108,6 +108,43 @@ class TestScanToMap:
         assert ate < ref_ate + 0.3, (ate, ref_ate)
         assert int(state.vmap.num_voxels) > 100
 
+    def test_blocked_const_velocity_rot_stable(self):
+        # the rotation prior must stay stable over a turning trajectory
+        # (regression: un-orthonormalized delta rotations fed back into the
+        # pose chain exploded to NaN within ~10 frames)
+        from icp4dradar_tpu.models import run_scan_to_map_blocked
+
+        seq = make_seq(frames=24, turn_rate=0.05)
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        _, outs = run_scan_to_map_blocked(
+            scans, small_cfg(), block=4, use_const_velocity_rot=True)
+        poses = np.asarray(outs.world_T)
+        assert np.isfinite(poses).all()
+        ate = ate_rmse(poses[:, :3, 3], seq.poses[:, :3, 3], align=False)
+        assert ate < 0.5, ate
+        # rotations stay orthonormal through the feedback chain
+        R = poses[:, :3, :3]
+        err = np.abs(R @ R.transpose(0, 2, 1) - np.eye(3)).max()
+        assert err < 1e-4, err
+
+    def test_blocked_band_gating_matches_ungated(self):
+        # band gating + the sensor-x scan sort are pure optimizations: the
+        # trajectory must match the ungated runner (same RNG stream; only
+        # point ORDER differs, which RANSAC sampling sees — allow small slack)
+        from icp4dradar_tpu.models import run_scan_to_map_blocked
+
+        seq = make_seq(frames=16)
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        cfg = small_cfg()
+        _, a = run_scan_to_map_blocked(scans, cfg, block=4,
+                                       use_band_gating=False)
+        _, b = run_scan_to_map_blocked(scans, cfg, block=4,
+                                       use_band_gating=True)
+        pa = np.asarray(a.world_T)[:, :3, 3]
+        pb = np.asarray(b.world_T)[:, :3, 3]
+        assert np.isfinite(pb).all()
+        assert np.abs(pa - pb).max() < 0.25, np.abs(pa - pb).max()
+
     def test_blocked_bad_shape_raises(self):
         from icp4dradar_tpu.models import run_scan_to_map_blocked
 
