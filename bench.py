@@ -66,9 +66,9 @@ def main() -> int:
     jax.block_until_ready(poses)
     print(f"compile + first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # steady-state timing (best of 3)
+    # steady-state timing (best of 5; axon tunnel adds run-to-run jitter)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         poses = run(scans)
         jax.block_until_ready(poses)

@@ -28,6 +28,57 @@ def batched_solve_psd(A: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0) -> j
     return jax.vmap(lambda a_, b_: solve_psd(a_, b_, damping))(A, b)
 
 
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of (..., 3, 3). On TPU a single LAPACK
+    3x3 inv/solve costs ~0.2 ms of control flow; the adjugate is pure
+    elementwise math (same trick as ops/vgicp_fused._sym_inv3)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    C00 = e * i - f * h
+    C01 = -(d * i - f * g)
+    C02 = d * h - e * g
+    C10 = -(b * i - c * h)
+    C11 = a * i - c * g
+    C12 = -(a * h - b * g)
+    C20 = b * f - c * e
+    C21 = -(a * f - c * d)
+    C22 = a * e - b * d
+    det = a * C00 + b * C01 + c * C02
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    adjT = jnp.stack([
+        jnp.stack([C00, C10, C20], axis=-1),
+        jnp.stack([C01, C11, C21], axis=-1),
+        jnp.stack([C02, C12, C22], axis=-1),
+    ], axis=-2)
+    return adjT * inv_det[..., None, None]
+
+
+def solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form solve of (..., 3, 3) @ x = (..., 3) via the adjugate."""
+    return jnp.einsum("...ij,...j->...i", inv3x3(A), b)
+
+
+def solve_spd6(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form solve of a 6x6 SPD system via the Schur complement of its
+    3x3 blocks (H = [[A, B], [B^T, C]]): every factor is an adjugate inv3x3,
+    so no LAPACK-shaped control flow reaches the TPU. Built for the per-
+    iteration GN update in registration (one 6x6 solve per sweep)."""
+    A = H[..., :3, :3]
+    B = H[..., :3, 3:]
+    C = H[..., 3:, 3:]
+    b1 = b[..., :3]
+    b2 = b[..., 3:]
+    Ainv = inv3x3(A)
+    BtAinv = jnp.swapaxes(B, -1, -2) @ Ainv
+    S = C - BtAinv @ B
+    x2 = jnp.einsum("...ij,...j->...i", inv3x3(S),
+                    b2 - jnp.einsum("...ij,...j->...i", BtAinv, b1))
+    x1 = jnp.einsum("...ij,...j->...i", Ainv,
+                    b1 - jnp.einsum("...ij,...j->...i", B, x2))
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
 def sym3x3_eigvals(A: jnp.ndarray) -> jnp.ndarray:
     """Closed-form eigenvalues of symmetric (..., 3, 3), ascending.
 

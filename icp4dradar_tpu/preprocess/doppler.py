@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from icp4dradar_tpu.config import DopplerRansacConfig
+from icp4dradar_tpu.geom.linalg import solve3x3
 from icp4dradar_tpu.io.scan import RadarScan
 
 
@@ -113,7 +114,14 @@ def fit_sine_ransac(
             X = jnp.stack([jnp.cos(alpha), jnp.sin(alpha)], axis=-1) * w_m[:, None]
             y = vr_ce * w_m
             G = X.T @ X + 1e-9 * jnp.eye(2, dtype=X.dtype)
-            uw = jnp.linalg.solve(G, X.T @ y)
+            # closed-form 2x2 solve (LAPACK-shaped 2x2 costs ~0.2 ms on TPU)
+            Xy = X.T @ y
+            det = G[0, 0] * G[1, 1] - G[0, 1] * G[1, 0]
+            inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+            uw = inv_det * jnp.stack([
+                G[1, 1] * Xy[0] - G[0, 1] * Xy[1],
+                G[0, 0] * Xy[1] - G[1, 0] * Xy[0],
+            ])
             A_n = jnp.sqrt(uw[0] ** 2 + uw[1] ** 2)
             b_n = jnp.arctan2(-uw[1], uw[0])
             return (A_n, b_n), None
@@ -171,7 +179,7 @@ def lsq_ego_velocity(
     vr = scan.doppler * static_mask
     KtK = K.T @ K + 1e-6 * jnp.eye(3, dtype=K.dtype)
     Ktv = K.T @ vr
-    V = jnp.linalg.solve(KtK, Ktv)
+    V = solve3x3(KtK, Ktv)   # closed-form: LAPACK 3x3 ~0.2 ms on TPU
     return V, KtK
 
 

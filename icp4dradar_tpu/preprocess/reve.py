@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from icp4dradar_tpu.config import ReveConfig
-from icp4dradar_tpu.geom.linalg import condition_number
+from icp4dradar_tpu.geom.linalg import condition_number, inv3x3
 from icp4dradar_tpu.io.scan import RadarScan
 
 
@@ -102,11 +102,14 @@ def estimate_ego_velocity(
     w = inlier_mask.astype(scan.mask.dtype)
     K = d * w[:, None]
     KtK = K.T @ K + 1e-9 * jnp.eye(3, dtype=K.dtype)
-    v_fit = jnp.linalg.solve(KtK, K.T @ (vr * w))
+    # closed-form 3x3 solve/inverse: LAPACK-shaped control flow costs
+    # ~0.2 ms PER OP on TPU (docs/PERFORMANCE.md rule 2)
+    KtK_inv = inv3x3(KtK)
+    v_fit = KtK_inv @ (K.T @ (vr * w))
     r = (d @ v_fit - vr) * w
     n_in = jnp.maximum(jnp.sum(w), 1.0)
     s2 = jnp.sum(r * r) / jnp.maximum(n_in - 3.0, 1.0)
-    cov = s2 * jnp.linalg.inv(KtK)
+    cov = s2 * KtK_inv
     sigma = jnp.sqrt(jnp.clip(jnp.diagonal(cov), 0.0, None))
 
     # ---- acceptance gates (ref max_sigma_*, max_r_cond, outlier pct) ----

@@ -19,7 +19,7 @@ from flax import struct
 
 from icp4dradar_tpu.config import GicpConfig
 from icp4dradar_tpu.geom import se3_exp, se3_identity, se3_log
-from icp4dradar_tpu.geom.linalg import solve_psd
+from icp4dradar_tpu.geom.linalg import solve_spd6
 from icp4dradar_tpu.ops.vgicp_fused import (
     radar_point_covariances_packed,
     vgicp_iteration,
@@ -96,7 +96,7 @@ def vgicp_align(
     def gn_update(T, H, g):
         H = H + cfg.lm_lambda * jnp.eye(6, dtype=T.dtype)
         # guard: with no valid correspondences H ~ lambda*I and g = 0
-        xi = solve_psd(H, -g)
+        xi = solve_spd6(H, -g)
         xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
         return se3_exp(xi) @ T, jnp.sum(jnp.abs(xi))
 

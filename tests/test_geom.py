@@ -203,3 +203,34 @@ class TestSo3Project:
 
         Rp = np.asarray(so3_project(jnp.eye(3, dtype=jnp.float32)))
         np.testing.assert_allclose(Rp, np.eye(3), atol=1e-7)
+
+
+class TestClosedFormSolves:
+    def test_inv3x3_matches_numpy(self, rng):
+        from icp4dradar_tpu.geom.linalg import inv3x3
+
+        A = rng.normal(size=(7, 3, 3)).astype(np.float32)
+        A = A @ A.transpose(0, 2, 1) + 0.5 * np.eye(3, dtype=np.float32)
+        got = np.asarray(inv3x3(jnp.asarray(A)))
+        ref = np.linalg.inv(A)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def test_solve3x3_matches_numpy(self, rng):
+        from icp4dradar_tpu.geom.linalg import solve3x3
+
+        A = rng.normal(size=(3, 3)).astype(np.float32)
+        A = A @ A.T + 0.5 * np.eye(3, dtype=np.float32)
+        b = rng.normal(size=3).astype(np.float32)
+        got = np.asarray(solve3x3(jnp.asarray(A), jnp.asarray(b)))
+        np.testing.assert_allclose(got, np.linalg.solve(A, b),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_solve_spd6_matches_numpy(self, rng):
+        from icp4dradar_tpu.geom.linalg import solve_spd6
+
+        J = rng.normal(size=(40, 6)).astype(np.float32)
+        H = (J.T @ J + 0.1 * np.eye(6)).astype(np.float32)
+        b = rng.normal(size=6).astype(np.float32)
+        got = np.asarray(solve_spd6(jnp.asarray(H), jnp.asarray(b)))
+        np.testing.assert_allclose(got, np.linalg.solve(H, b),
+                                   rtol=5e-3, atol=5e-4)
