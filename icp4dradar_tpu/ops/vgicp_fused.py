@@ -436,6 +436,98 @@ def vgicp_iteration_frozen(
     return _unpack_accumulators(acc, src_xyz.dtype)
 
 
+def best_payload_to_rows(best: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(ns, 10, ts) blocked matched-payload (vgicp_iteration return_best
+    layout) -> canonical (n, 10) rows [d2, q0..2, cb0..5]; row i is source
+    point i."""
+    ns, _, ts = best.shape
+    return jnp.moveaxis(best, 1, 2).reshape(ns * ts, 10)[:n]
+
+
+def rows_to_best_payload(rows: jnp.ndarray, ts: int = 512) -> jnp.ndarray:
+    """Canonical (n, 10) payload rows -> the (ns, 10, ts) blocked layout
+    vgicp_iteration_frozen consumes (pads dead rows with d2=1e30)."""
+    n = rows.shape[0]
+    ts = min(ts, max(8, n))
+    pad = (-n) % ts
+    if pad:
+        dead = jnp.concatenate(
+            [jnp.full((pad, 1), 1e30, rows.dtype),
+             jnp.zeros((pad, 9), rows.dtype)], axis=-1)
+        rows = jnp.concatenate([rows, dead], axis=0)
+    ns = rows.shape[0] // ts
+    return jnp.moveaxis(rows.reshape(ns, ts, 10), 2, 1)
+
+
+def vgicp_sweep_best_xla(
+    T: jnp.ndarray,
+    src_xyz: jnp.ndarray,
+    tgt_mean: jnp.ndarray,
+    tgt_cov6: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """XLA reference sweep -> canonical (n, 10) matched payload (the
+    portable counterpart of vgicp_iteration(..., return_best=True))."""
+    from icp4dradar_tpu.geom.se3 import se3_apply
+    from icp4dradar_tpu.ops.knn import nearest_neighbor_xla
+
+    p = se3_apply(T, src_xyz)
+    idx, d2 = nearest_neighbor_xla(p, tgt_mean, tgt_mask)
+    return jnp.concatenate(
+        [d2[:, None], tgt_mean[idx], tgt_cov6[idx]], axis=-1)
+
+
+def merge_best_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise running-best merge of two (n, 10) payloads by distance —
+    the ring-step combiner (associative + commutative)."""
+    take_b = b[:, 0] < a[:, 0]
+    return jnp.where(take_b[:, None], b, a)
+
+
+def vgicp_accumulators_from_best_xla(
+    T: jnp.ndarray,
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    src_cov6: jnp.ndarray,
+    best_rows: jnp.ndarray,
+    max_correspondence_dist: float = 2.0,
+    cov_eps: float = 1e-3,
+):
+    """(H, g, cost, wsum, d2sum) from a frozen (n, 10) payload at transform T
+    — the XLA counterpart of vgicp_iteration_frozen (same fresh-residual
+    gating: rows that never matched carry d2 = 1e30 and drop out)."""
+    from icp4dradar_tpu.geom.se3 import se3_apply
+    from icp4dradar_tpu.geom.so3 import so3_hat
+
+    def unpack(c6):
+        return jnp.stack([
+            jnp.stack([c6[..., 0], c6[..., 3], c6[..., 4]], -1),
+            jnp.stack([c6[..., 3], c6[..., 1], c6[..., 5]], -1),
+            jnp.stack([c6[..., 4], c6[..., 5], c6[..., 2]], -1),
+        ], -2)
+
+    R = T[:3, :3]
+    p = se3_apply(T, src_xyz)
+    q = best_rows[:, 1:4]
+    fresh = jnp.sum((q - p) ** 2, axis=-1)
+    d2 = jnp.where(best_rows[:, 0] < 2.5e29, fresh, 1e30)
+    Cb = unpack(best_rows[:, 4:])
+    Ca = unpack(src_cov6)
+    Cp = jnp.einsum("ij,njk,lk->nil", R, Ca, R)
+    w = src_mask * (d2 < float(max_correspondence_dist) ** 2)
+    M = jnp.linalg.inv(Cb + Cp + cov_eps * jnp.eye(3, dtype=T.dtype))
+    r = q - p
+    Jv = -jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), (p.shape[0], 3, 3))
+    J = jnp.concatenate([Jv, so3_hat(p)], axis=-1)
+    MJ = M @ J
+    wJ = J * w[:, None, None]
+    H = jnp.einsum("nij,nik->jk", wJ, MJ)
+    Mr = jnp.einsum("nij,nj->ni", M, r)
+    g = jnp.einsum("nij,ni->j", wJ, Mr)
+    cost = jnp.sum(w * jnp.einsum("ni,ni->n", r, Mr))
+    return H, g, cost, jnp.sum(w), jnp.sum(w * d2)
+
+
 def vgicp_iteration_xla(
     T: jnp.ndarray,
     src_xyz: jnp.ndarray,

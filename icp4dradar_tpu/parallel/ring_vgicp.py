@@ -1,0 +1,127 @@
+"""Ring-sweep distributed VGICP: register a scan against a MAP SHARDED
+ACROSS THE MESH without ever materializing it on one device.
+
+SURVEY.md §7 step 7 calls for halo/ring exchange of map blocks via
+`ppermute`; this is that component for registration. The single-device path
+(registration/vgicp.py) needs the whole sector submap in one chip's HBM.
+Here each device holds 1/n of the voxel distributions and the scan is
+replicated (a scan is ~80 KB; the map is the memory-bound resource):
+
+  ring step k: every device sweeps the scan against the shard currently
+  visiting it (local fused kernel / XLA NN), folds the result into a
+  running-best matched payload (elementwise min by distance — associative,
+  so any visit order works), then rotates its shard to the next device
+  with `lax.ppermute`. After n steps every device has seen every shard and
+  holds the SAME best payload; the Gauss-Newton normal equations come from
+  one frozen-payload pass (ops/vgicp_fused accumulators) — no psum needed.
+
+This is the ring pattern of ring-attention / ring-allreduce applied to
+correspondence search: compute overlaps communication (the next shard
+streams over ICI while the current one is being swept), per-device memory
+stays O(M/n + N), and total FLOPs equal the single-device sweep.
+
+Reference lineage: FastGICP scan-to-submap registration
+(src/radar_odometry.cpp:399-411) — here the "submap" may exceed one chip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from icp4dradar_tpu.ops.vgicp_fused import (
+    best_payload_to_rows,
+    merge_best_rows,
+    vgicp_accumulators_from_best_xla,
+    vgicp_iteration,
+    vgicp_sweep_best_xla,
+)
+
+
+def ring_vgicp_normal_equations(
+    T: jnp.ndarray,
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    src_cov6: jnp.ndarray,
+    tgt_mean: jnp.ndarray,
+    tgt_cov6: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "dp",
+    max_correspondence_dist: float = 2.0,
+    cov_eps: float = 1e-3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One distributed GN pass -> (H (6,6), g (6,), cost, wsum, d2sum),
+    numerically equal to vgicp_iteration on the gathered map.
+
+    tgt_* arrays are (M, ...) logically; they are resharded along `axis`
+    (M must divide the mesh size). Scan arrays are replicated. Outputs are
+    replicated on every device.
+    """
+    n = mesh.shape[axis]
+    M = tgt_mean.shape[0]
+    if M % n:
+        raise ValueError(f"target rows {M} must divide mesh size {n}")
+
+    shard = NamedSharding(mesh, P(axis))
+    shard2 = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    tgt_mean = jax.device_put(tgt_mean, shard2)
+    tgt_cov6 = jax.device_put(tgt_cov6, shard2)
+    tgt_mask = jax.device_put(tgt_mask, shard)
+    T = jax.device_put(T, rep)
+    src_xyz = jax.device_put(src_xyz, rep)
+    src_mask = jax.device_put(src_mask, rep)
+    src_cov6 = jax.device_put(src_cov6, rep)
+
+    on_tpu = jax.default_backend() == "tpu"
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def local(T, sx, sm, sc, tm, tc, tmask):
+        # shard-local shapes: tm (M/n, 3); scan replicated
+        N = sx.shape[0]
+        best0 = jnp.concatenate(
+            [jnp.full((N, 1), 1e30, sx.dtype), jnp.zeros((N, 9), sx.dtype)],
+            axis=-1)
+        # the merged payload depends on the visiting shard, so the scan carry
+        # must start device-varying (vma-type match with the merge output)
+        best0 = jax.lax.pcast(best0, axis, to="varying")
+
+        def step(carry, _):
+            best, tm, tc, tmask = carry
+            if on_tpu:
+                _, _, _, _, _, b = vgicp_iteration(
+                    T, sx, sm, sc, tm, tc, tmask,
+                    max_correspondence_dist=max_correspondence_dist,
+                    cov_eps=cov_eps, return_best=True)
+                rows = best_payload_to_rows(b, N)
+            else:
+                rows = vgicp_sweep_best_xla(T, sx, tm, tc, tmask)
+            best = merge_best_rows(best, rows)
+            tm = jax.lax.ppermute(tm, axis, perm)
+            tc = jax.lax.ppermute(tc, axis, perm)
+            tmask = jax.lax.ppermute(tmask, axis, perm)
+            return (best, tm, tc, tmask), None
+
+        (best, _, _, _), _ = jax.lax.scan(
+            step, (best0, tm, tc, tmask), None, length=n)
+        out = vgicp_accumulators_from_best_xla(
+            T, sx, sm, sc, best,
+            max_correspondence_dist=max_correspondence_dist,
+            cov_eps=cov_eps)
+        # every device computed the identical result (the merge is order-
+        # independent); pmean makes that replication PROVABLE to shard_map's
+        # out_specs checker at the cost of a few tiny collectives
+        return jax.tree.map(lambda x: jax.lax.pmean(x, axis), out)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    return jax.jit(fn)(T, src_xyz, src_mask, src_cov6, tgt_mean, tgt_cov6,
+                       tgt_mask)

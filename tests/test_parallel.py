@@ -148,3 +148,58 @@ class TestScanToMapBatch:
             np.asarray(outs_sharded.world_T), np.asarray(outs_local.world_T),
             atol=1e-4,
         )
+
+
+class TestRingVgicp:
+    def test_matches_single_device(self, rng, mesh):
+        """Ring-sharded sweep (ppermute map shards, merge running best,
+        frozen-payload accumulators) must equal the single-device VGICP
+        iteration on the gathered map."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.geom import se3_exp
+        from icp4dradar_tpu.ops.vgicp_fused import (
+            radar_point_covariances_packed,
+            vgicp_iteration_xla,
+        )
+        from icp4dradar_tpu.parallel import ring_vgicp_normal_equations
+
+        N, M = 256, 512
+        src = rng.uniform(-30, 30, (N, 3)).astype(np.float32)
+        sm = (rng.uniform(size=N) > 0.1).astype(np.float32)
+        scov = np.asarray(radar_point_covariances_packed(jnp.asarray(src)))
+        tgt = rng.uniform(-30, 30, (M, 3)).astype(np.float32)
+        tcov = np.abs(rng.normal(0.05, 0.02, (M, 6))).astype(np.float32)
+        tmask = (rng.uniform(size=M) > 0.2).astype(np.float32)
+        T = np.asarray(se3_exp(jnp.asarray(
+            [0.1, -0.2, 0.05, 0.02, 0.0, 0.1], jnp.float32)))
+
+        H1, g1, c1, w1, d1 = vgicp_iteration_xla(
+            jnp.asarray(T), jnp.asarray(src), jnp.asarray(sm),
+            jnp.asarray(scov), jnp.asarray(tgt), jnp.asarray(tcov),
+            jnp.asarray(tmask))
+        H2, g2, c2, w2, d2 = ring_vgicp_normal_equations(
+            jnp.asarray(T), jnp.asarray(src), jnp.asarray(sm),
+            jnp.asarray(scov), jnp.asarray(tgt), jnp.asarray(tcov),
+            jnp.asarray(tmask), mesh)
+        np.testing.assert_allclose(np.asarray(H2), np.asarray(H1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-4, atol=1e-4)
+        assert float(w2) == float(w1)
+        np.testing.assert_allclose(float(d2), float(d1), rtol=1e-4)
+
+    def test_bad_shard_size_raises(self, mesh):
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.parallel import ring_vgicp_normal_equations
+
+        M = 9  # not divisible by the 8-device mesh
+        try:
+            ring_vgicp_normal_equations(
+                jnp.eye(4), jnp.zeros((8, 3)), jnp.ones(8),
+                jnp.zeros((8, 6)), jnp.zeros((M, 3)), jnp.zeros((M, 6)),
+                jnp.ones(M), mesh)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
