@@ -87,6 +87,9 @@ def main(argv=None) -> int:
     p.add_argument("--doppler-prior", action="store_true")
     p.add_argument("--static-only", action="store_true",
                    help="register on static points only (ref USE_STATIC_POINTS)")
+    p.add_argument("--cv-rot", action="store_true",
+                   help="constant-velocity rotation prior (previous frame's "
+                        "refined body rotation seeds the next prediction)")
     p.add_argument("--map-interval", type=int, default=1,
                    help="scan_to_map: amortize sector query + insert over "
                         "this many frames (run_scan_to_map_blocked)")
@@ -163,12 +166,14 @@ def main(argv=None) -> int:
                 scans, cfg, block=args.map_interval,
                 use_doppler_prior=not args.static_only or args.doppler_prior,
                 prior_deltas=prior_deltas,
+                use_const_velocity_rot=args.cv_rot,
             )
         else:
             state, outs = run_scan_to_map(
                 scans, cfg,
                 use_doppler_prior=not args.static_only or args.doppler_prior,
                 prior_deltas=prior_deltas,
+                use_const_velocity_rot=args.cv_rot,
             )
         jax.block_until_ready(outs.world_T)
         elapsed = time.time() - t0
