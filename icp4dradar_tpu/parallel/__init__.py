@@ -21,5 +21,6 @@ from icp4dradar_tpu.parallel.sharded_map import (  # noqa: F401
     sharded_sector_search_with_stats,
 )
 from icp4dradar_tpu.parallel.ring_vgicp import (  # noqa: F401
+    ring_vgicp_align,
     ring_vgicp_normal_equations,
 )

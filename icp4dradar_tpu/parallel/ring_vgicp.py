@@ -125,3 +125,115 @@ def ring_vgicp_normal_equations(
     )
     return jax.jit(fn)(T, src_xyz, src_mask, src_cov6, tgt_mean, tgt_cov6,
                        tgt_mask)
+
+
+def ring_vgicp_align(
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    src_cov6: jnp.ndarray,
+    tgt_mean: jnp.ndarray,
+    tgt_cov6: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    mesh: Mesh,
+    init_transform: Optional[jnp.ndarray] = None,
+    axis: str = "dp",
+    max_correspondence_dist: float = 2.0,
+    cov_eps: float = 1e-3,
+    lm_lambda: float = 1e-6,
+    max_iterations: int = 64,
+    transformation_epsilon: float = 5e-4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full distributed GN alignment against the ring-sharded map ->
+    (T (4,4), fitness, iterations). The sweep runs on the ring each
+    iteration; the 6x6 solve is replicated (trivial). Mirrors
+    registration/vgicp.py::vgicp_align including the cloud-centered
+    optimization frame (kilometer-scale world coordinates cancel in f32)."""
+    from icp4dradar_tpu.geom import se3_exp, se3_identity
+    from icp4dradar_tpu.geom.linalg import solve_spd6
+
+    n = mesh.shape[axis]
+    M = tgt_mean.shape[0]
+    if M % n:
+        raise ValueError(f"target rows {M} must divide mesh size {n}")
+    T0 = (se3_identity(src_xyz.dtype) if init_transform is None
+          else init_transform)
+    center = T0[:3, 3]
+    T0 = T0.at[:3, 3].set(jnp.zeros_like(center))
+    tgt_mean = tgt_mean - center[None, :]
+
+    shard = NamedSharding(mesh, P(axis))
+    shard2 = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    args = (jax.device_put(src_xyz, rep), jax.device_put(src_mask, rep),
+            jax.device_put(src_cov6, rep), jax.device_put(tgt_mean, shard2),
+            jax.device_put(tgt_cov6, shard2), jax.device_put(tgt_mask, shard))
+
+    on_tpu = jax.default_backend() == "tpu"
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def local(T0, sx, sm, sc, tm0, tc0, tmask0):
+        N = sx.shape[0]
+
+        def sweep(T):
+            best0 = jnp.concatenate(
+                [jnp.full((N, 1), 1e30, sx.dtype),
+                 jnp.zeros((N, 9), sx.dtype)], axis=-1)
+            best0 = jax.lax.pcast(best0, axis, to="varying")
+
+            def step(carry, _):
+                best, tm, tc, tmask = carry
+                if on_tpu:
+                    _, _, _, _, _, b = vgicp_iteration(
+                        T, sx, sm, sc, tm, tc, tmask,
+                        max_correspondence_dist=max_correspondence_dist,
+                        cov_eps=cov_eps, return_best=True)
+                    rows = best_payload_to_rows(b, N)
+                else:
+                    rows = vgicp_sweep_best_xla(T, sx, tm, tc, tmask)
+                best = merge_best_rows(best, rows)
+                tm = jax.lax.ppermute(tm, axis, perm)
+                tc = jax.lax.ppermute(tc, axis, perm)
+                tmask = jax.lax.ppermute(tmask, axis, perm)
+                return (best, tm, tc, tmask), None
+
+            (best, _, _, _), _ = jax.lax.scan(
+                step, (best0, tm0, tc0, tmask0), None, length=n)
+            return vgicp_accumulators_from_best_xla(
+                T, sx, sm, sc, best,
+                max_correspondence_dist=max_correspondence_dist,
+                cov_eps=cov_eps)
+
+        def cond(state):
+            _, it, delta, _, _ = state
+            return (it < max_iterations) & (delta > transformation_epsilon)
+
+        def body(state):
+            T, it, _, _, _ = state
+            # the sweep's outputs are device-varying types (they flow from
+            # the visiting shards) though numerically identical everywhere;
+            # pmean-ing the 35 scalars makes them PROVABLY invariant so the
+            # while carry, the solve, and the convergence predicate stay
+            # replicated (a varying while-predicate is ill-formed)
+            H, g, cost, wsum, d2sum = jax.tree.map(
+                lambda x: jax.lax.pmean(x, axis), sweep(T))
+            H = H + lm_lambda * jnp.eye(6, dtype=T.dtype)
+            xi = solve_spd6(H, -g)
+            xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
+            return (se3_exp(xi) @ T, it + 1, jnp.sum(jnp.abs(xi)),
+                    wsum, d2sum)
+
+        zero = jnp.zeros((), sx.dtype)
+        T, iters, _, wsum, d2sum = jax.lax.while_loop(
+            cond, body,
+            (T0, jnp.int32(0), jnp.asarray(jnp.inf, sx.dtype), zero, zero))
+        fitness = d2sum / jnp.maximum(wsum, 1.0)
+        return (T, fitness, iters)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(), P(), P()),
+    )
+    T, fitness, iters = jax.jit(fn)(T0, *args)
+    T = T.at[:3, 3].add(center)
+    return T, fitness, iters

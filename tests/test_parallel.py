@@ -203,3 +203,31 @@ class TestRingVgicp:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+    def test_ring_align_recovers_transform(self, rng, mesh):
+        """Full distributed GN on the ring recovers a known SE(3) offset of
+        a scan against its own voxel distributions."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.geom import se3_apply, se3_exp, se3_inverse, se3_log
+        from icp4dradar_tpu.ops.vgicp_fused import (
+            radar_point_covariances_packed,
+        )
+        from icp4dradar_tpu.parallel import ring_vgicp_align
+
+        M = 512
+        tgt = rng.uniform(-30, 30, (M, 3)).astype(np.float32)
+        tcov = np.broadcast_to(
+            np.asarray([0.02, 0.02, 0.02, 0, 0, 0], np.float32), (M, 6))
+        T_true = se3_exp(jnp.asarray([0.2, -0.1, 0.05, 0.01, -0.02, 0.03],
+                                     jnp.float32))
+        src = np.asarray(se3_apply(se3_inverse(T_true), jnp.asarray(tgt)))
+        scov = np.asarray(radar_point_covariances_packed(jnp.asarray(src)))
+
+        T, fit, iters = ring_vgicp_align(
+            jnp.asarray(src), jnp.ones(M, jnp.float32), jnp.asarray(scov),
+            jnp.asarray(tgt), jnp.asarray(tcov), jnp.ones(M, jnp.float32),
+            mesh)
+        err = float(jnp.abs(se3_log(se3_inverse(T) @ T_true)).max())
+        assert err < 1e-2, err
+        assert int(iters) >= 1 and float(fit) < 0.05
