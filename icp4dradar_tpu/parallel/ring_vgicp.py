@@ -26,7 +26,6 @@ Reference lineage: FastGICP scan-to-submap registration
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from icp4dradar_tpu.config import GicpConfig
-from icp4dradar_tpu.geom import se3_exp, se3_identity, se3_log
+from icp4dradar_tpu.geom import se3_exp, se3_identity
 from icp4dradar_tpu.geom.linalg import solve_spd6
 from icp4dradar_tpu.ops.vgicp_fused import (
     radar_point_covariances_packed,
