@@ -98,10 +98,14 @@ class GicpConfig:
     max_iterations: int = 64         # FastGICP default
     max_correspondence_dist: float = 2.0  # ref MAX_SEARCH_RADIUS (:35)
     # GN convergence: sum|xi| over the 6-dim step (NOT PCL's matrix delta).
-    # Measured on v5e: 5e-4 converges in ~4 sweeps vs ~5 at 1e-4 with
-    # IDENTICAL ATE (0.022 m / 64-frame synthetic) — sub-millimeter steps
-    # don't move radar-scale registrations.
-    transformation_epsilon: float = 5e-4
+    # Governs the kNN GICP fallback path (gicp.py).
+    transformation_epsilon: float = 1e-4
+    # VGICP map-tracking epsilon, measured separately on v5e: 5e-4 converges
+    # in ~4 sweeps vs ~5 at 1e-4 with IDENTICAL ATE (0.022 m / 64-frame
+    # synthetic) — sub-millimeter steps don't move radar-scale registration.
+    # Kept as its own knob so loosening it never silently changes the
+    # unmeasured kNN GICP path.
+    vgicp_transformation_epsilon: float = 5e-4
     cov_epsilon: float = 1e-3        # plane-regularized covariance floor (GICP standard)
     lm_lambda: float = 1e-6          # Levenberg damping on the 6x6 system
     # VGICP map-tracking path (registration/vgicp.py): register against the

@@ -347,6 +347,9 @@ def vgicp_iteration(
     use_gate = gate_axis is not None
     if use_gate:
         axis2 = jnp.reshape(gate_axis.astype(jnp.float32), (1, 2))
+        # exactness of the skip test |a.(p-q)| <= |p-q| requires ||a|| <= 1;
+        # normalize so callers may pass any direction vector
+        axis2 = axis2 / jnp.maximum(jnp.linalg.norm(axis2), 1e-12)
         u_t = tgt10[:, 0] * axis2[0, 0] + tgt10[:, 1] * axis2[0, 1]
         live = (tgt10[:, 9] < float(_BIG) * 0.5)
         u_lo = jnp.where(live, u_t, 1e30).reshape(nt, tm_tile).min(axis=1)
@@ -436,27 +439,42 @@ def vgicp_iteration_frozen(
     return _unpack_accumulators(acc, src_xyz.dtype)
 
 
+def _unpack_sym3(c6: jnp.ndarray) -> jnp.ndarray:
+    """Packed (..., 6) [xx,yy,zz,xy,xz,yz] -> full symmetric (..., 3, 3)."""
+    return jnp.stack([
+        jnp.stack([c6[..., 0], c6[..., 3], c6[..., 4]], -1),
+        jnp.stack([c6[..., 3], c6[..., 1], c6[..., 5]], -1),
+        jnp.stack([c6[..., 4], c6[..., 5], c6[..., 2]], -1),
+    ], -2)
+
+
+def _sym_inv3_batched(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of symmetric (..., 3, 3) — the batched
+    counterpart of _sym_inv3 (no LAPACK-shaped control flow on TPU)."""
+    a, b, c = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
+    d_, e_, f_ = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+    CA = b * c - f_ * f_
+    CB = a * c - e_ * e_
+    CC = a * b - d_ * d_
+    CD = -(d_ * c - f_ * e_)
+    CE = d_ * f_ - b * e_
+    CF = -(a * f_ - d_ * e_)
+    det = a * CA + d_ * CD + e_ * CE
+    inv_det = jnp.sign(det) / jnp.maximum(jnp.abs(det), 1e-20)
+    M = jnp.stack([
+        jnp.stack([CA, CD, CE], -1),
+        jnp.stack([CD, CB, CF], -1),
+        jnp.stack([CE, CF, CC], -1),
+    ], -2)
+    return M * inv_det[..., None, None]
+
+
 def best_payload_to_rows(best: jnp.ndarray, n: int) -> jnp.ndarray:
     """(ns, 10, ts) blocked matched-payload (vgicp_iteration return_best
     layout) -> canonical (n, 10) rows [d2, q0..2, cb0..5]; row i is source
     point i."""
     ns, _, ts = best.shape
     return jnp.moveaxis(best, 1, 2).reshape(ns * ts, 10)[:n]
-
-
-def rows_to_best_payload(rows: jnp.ndarray, ts: int = 512) -> jnp.ndarray:
-    """Canonical (n, 10) payload rows -> the (ns, 10, ts) blocked layout
-    vgicp_iteration_frozen consumes (pads dead rows with d2=1e30)."""
-    n = rows.shape[0]
-    ts = min(ts, max(8, n))
-    pad = (-n) % ts
-    if pad:
-        dead = jnp.concatenate(
-            [jnp.full((pad, 1), 1e30, rows.dtype),
-             jnp.zeros((pad, 9), rows.dtype)], axis=-1)
-        rows = jnp.concatenate([rows, dead], axis=0)
-    ns = rows.shape[0] // ts
-    return jnp.moveaxis(rows.reshape(ns, ts, 10), 2, 1)
 
 
 def vgicp_sweep_best_xla(
@@ -499,23 +517,18 @@ def vgicp_accumulators_from_best_xla(
     from icp4dradar_tpu.geom.se3 import se3_apply
     from icp4dradar_tpu.geom.so3 import so3_hat
 
-    def unpack(c6):
-        return jnp.stack([
-            jnp.stack([c6[..., 0], c6[..., 3], c6[..., 4]], -1),
-            jnp.stack([c6[..., 3], c6[..., 1], c6[..., 5]], -1),
-            jnp.stack([c6[..., 4], c6[..., 5], c6[..., 2]], -1),
-        ], -2)
-
     R = T[:3, :3]
     p = se3_apply(T, src_xyz)
     q = best_rows[:, 1:4]
     fresh = jnp.sum((q - p) ** 2, axis=-1)
     d2 = jnp.where(best_rows[:, 0] < 2.5e29, fresh, 1e30)
-    Cb = unpack(best_rows[:, 4:])
-    Ca = unpack(src_cov6)
+    Cb = _unpack_sym3(best_rows[:, 4:])
+    Ca = _unpack_sym3(src_cov6)
     Cp = jnp.einsum("ij,njk,lk->nil", R, Ca, R)
     w = src_mask * (d2 < float(max_correspondence_dist) ** 2)
-    M = jnp.linalg.inv(Cb + Cp + cov_eps * jnp.eye(3, dtype=T.dtype))
+    # closed-form symmetric inverse: this runs on the TPU ring hot path
+    # (unlike vgicp_iteration_xla, which is a CPU reference)
+    M = _sym_inv3_batched(Cb + Cp + cov_eps * jnp.eye(3, dtype=T.dtype))
     r = q - p
     Jv = -jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), (p.shape[0], 3, 3))
     J = jnp.concatenate([Jv, so3_hat(p)], axis=-1)
@@ -544,19 +557,12 @@ def vgicp_iteration_xla(
     from icp4dradar_tpu.geom.so3 import so3_hat
     from icp4dradar_tpu.ops.knn import nearest_neighbor_xla
 
-    def unpack(c6):
-        return jnp.stack([
-            jnp.stack([c6[..., 0], c6[..., 3], c6[..., 4]], -1),
-            jnp.stack([c6[..., 3], c6[..., 1], c6[..., 5]], -1),
-            jnp.stack([c6[..., 4], c6[..., 5], c6[..., 2]], -1),
-        ], -2)
-
     R = T[:3, :3]
     p = se3_apply(T, src_xyz)
     idx, d2 = nearest_neighbor_xla(p, tgt_mean, tgt_mask)
     q = tgt_mean[idx]
-    Cb = unpack(tgt_cov6[idx])
-    Ca = unpack(src_cov6)
+    Cb = _unpack_sym3(tgt_cov6[idx])
+    Ca = _unpack_sym3(src_cov6)
     Cp = jnp.einsum("ij,njk,lk->nil", R, Ca, R)
     w = src_mask * (d2 < float(max_correspondence_dist) ** 2)
     M = jnp.linalg.inv(Cb + Cp + cov_eps * jnp.eye(3, dtype=T.dtype))

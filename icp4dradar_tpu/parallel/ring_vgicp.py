@@ -26,12 +26,15 @@ Reference lineage: FastGICP scan-to-submap registration
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from icp4dradar_tpu.geom import se3_exp, se3_identity
+from icp4dradar_tpu.geom.linalg import solve_spd6
 from icp4dradar_tpu.ops.vgicp_fused import (
     best_payload_to_rows,
     merge_best_rows,
@@ -76,7 +79,18 @@ def ring_vgicp_normal_equations(
     src_xyz = jax.device_put(src_xyz, rep)
     src_mask = jax.device_put(src_mask, rep)
     src_cov6 = jax.device_put(src_cov6, rep)
+    fn = _cached_ring_ne(mesh, axis, float(max_correspondence_dist),
+                         float(cov_eps))
+    return fn(T, src_xyz, src_mask, src_cov6, tgt_mean, tgt_cov6, tgt_mask)
 
+
+@functools.lru_cache(maxsize=32)
+def _cached_ring_ne(mesh: Mesh, axis: str, max_correspondence_dist: float,
+                    cov_eps: float):
+    """Build the shard_map'd + jitted ring sweep ONCE per (mesh, axis,
+    gates): rebuilding the closure per call would defeat the jit cache and
+    recompile through the TPU tunnel on every GN pass."""
+    n = mesh.shape[axis]
     on_tpu = jax.default_backend() == "tpu"
     perm = [(i, (i + 1) % n) for i in range(n)]
 
@@ -122,8 +136,7 @@ def ring_vgicp_normal_equations(
         in_specs=(P(), P(), P(), P(), P(axis, None), P(axis, None), P(axis)),
         out_specs=(P(), P(), P(), P(), P()),
     )
-    return jax.jit(fn)(T, src_xyz, src_mask, src_cov6, tgt_mean, tgt_cov6,
-                       tgt_mask)
+    return jax.jit(fn)
 
 
 def ring_vgicp_align(
@@ -147,9 +160,6 @@ def ring_vgicp_align(
     iteration; the 6x6 solve is replicated (trivial). Mirrors
     registration/vgicp.py::vgicp_align including the cloud-centered
     optimization frame (kilometer-scale world coordinates cancel in f32)."""
-    from icp4dradar_tpu.geom import se3_exp, se3_identity
-    from icp4dradar_tpu.geom.linalg import solve_spd6
-
     n = mesh.shape[axis]
     M = tgt_mean.shape[0]
     if M % n:
@@ -166,7 +176,21 @@ def ring_vgicp_align(
     args = (jax.device_put(src_xyz, rep), jax.device_put(src_mask, rep),
             jax.device_put(src_cov6, rep), jax.device_put(tgt_mean, shard2),
             jax.device_put(tgt_cov6, shard2), jax.device_put(tgt_mask, shard))
+    fn = _cached_ring_align(
+        mesh, axis, float(max_correspondence_dist), float(cov_eps),
+        float(lm_lambda), int(max_iterations), float(transformation_epsilon))
+    T, fitness, iters = fn(jax.device_put(T0, rep), *args)
+    T = T.at[:3, 3].add(center)
+    return T, fitness, iters
 
+
+@functools.lru_cache(maxsize=32)
+def _cached_ring_align(mesh: Mesh, axis: str, max_correspondence_dist: float,
+                       cov_eps: float, lm_lambda: float, max_iterations: int,
+                       transformation_epsilon: float):
+    """shard_map'd + jitted full GN loop, built once per configuration
+    (same retrace-avoidance rationale as _cached_ring_ne)."""
+    n = mesh.shape[axis]
     on_tpu = jax.default_backend() == "tpu"
     perm = [(i, (i + 1) % n) for i in range(n)]
 
@@ -233,6 +257,4 @@ def ring_vgicp_align(
         in_specs=(P(), P(), P(), P(), P(axis, None), P(axis, None), P(axis)),
         out_specs=(P(), P(), P()),
     )
-    T, fitness, iters = jax.jit(fn)(T0, *args)
-    T = T.at[:3, 3].add(center)
-    return T, fitness, iters
+    return jax.jit(fn)

@@ -100,9 +100,11 @@ def vgicp_align(
         xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
         return se3_exp(xi) @ T, jnp.sum(jnp.abs(xi))
 
+    eps = cfg.vgicp_transformation_epsilon
+
     def cond(state):
         T, it, delta, _, _ = state
-        return (it < cfg.max_iterations) & (delta > cfg.transformation_epsilon)
+        return (it < cfg.max_iterations) & (delta > eps)
 
     def body(state):
         T, it, _, _, _ = state
@@ -125,7 +127,7 @@ def vgicp_align(
     T, iters, delta, wsum, d2sum = jax.lax.while_loop(cond, body, init)
 
     fitness = d2sum / jnp.maximum(wsum, 1.0)
-    converged = (delta <= cfg.transformation_epsilon) | (iters >= cfg.max_iterations)
+    converged = (delta <= eps) | (iters >= cfg.max_iterations)
     T = T.at[:3, 3].add(center)            # back to the world frame
     return GicpResult(transform=T, converged=converged, fitness=fitness,
                       iterations=iters)
