@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Accuracy/robustness evaluation suite over varied synthetic conditions.
+
+The reference validates only by eyeballing rviz overlays and offline evo
+runs on two recordings (SURVEY.md §4); this suite is the systematic
+counterpart: a grid of synthetic scenarios (speed, turn rate, dynamic-point
+fraction, measurement noise) with exact ground truth, evaluating both
+pipelines (scan-to-scan ICP odometry, blocked scan-to-map VGICP tracking)
+with ATE / RPE / throughput. All scenarios share one compiled graph per
+pipeline (same shapes — only the data changes), so the full grid costs one
+compile + milliseconds per run.
+
+Writes docs/EVAL.md (markdown table) + docs/eval_results.json.
+
+Usage: python scripts/eval_suite.py [--cpu] [--frames 64] [--out docs]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCENARIOS = [
+    # name, kwargs for SyntheticSequence
+    ("baseline",      dict(speed=1.0, turn_rate=0.02, dynamic_fraction=0.1,
+                           pos_noise=0.02)),
+    ("fast",          dict(speed=3.0, turn_rate=0.02, dynamic_fraction=0.1,
+                           pos_noise=0.02)),
+    ("turning",       dict(speed=1.0, turn_rate=0.08, dynamic_fraction=0.1,
+                           pos_noise=0.02)),
+    ("dynamic-heavy", dict(speed=1.0, turn_rate=0.02, dynamic_fraction=0.35,
+                           pos_noise=0.02)),
+    ("noisy",         dict(speed=1.0, turn_rate=0.02, dynamic_fraction=0.1,
+                           pos_noise=0.08)),
+    ("hard",          dict(speed=2.0, turn_rate=0.06, dynamic_fraction=0.3,
+                           pos_noise=0.05)),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--out", default="docs")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/icp4dradar_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import numpy as np
+
+    from icp4dradar_tpu.config import PipelineConfig
+    from icp4dradar_tpu.io import SyntheticSequence
+    from icp4dradar_tpu.io.scan import stack_scans
+    from icp4dradar_tpu.models import run_scan_to_scan
+    from icp4dradar_tpu.models.scan_to_map import run_scan_to_map_blocked
+    from icp4dradar_tpu.utils import ate_rmse
+    from icp4dradar_tpu.utils.metrics import rpe
+
+    F = args.frames
+    cfg = PipelineConfig()
+    print(f"backend: {jax.default_backend()}, {F} frames/scenario",
+          file=sys.stderr)
+
+    run_s2s = jax.jit(
+        lambda s: run_scan_to_scan(s, cfg, use_doppler_prior=True).world_T)
+    run_s2m = jax.jit(
+        lambda s: run_scan_to_map_blocked(
+            s, cfg, block=8, use_const_velocity_rot=True)[1].world_T)
+
+    rows = []
+    for name, kw in SCENARIOS:
+        # scale the world with path length (constant landmark density):
+        # otherwise fast scenarios drive out of the landmark field and the
+        # forward sector legitimately runs dry
+        extent = max(120.0, kw["speed"] * F + 100.0)
+        landmarks = int(5000 * (extent / 120.0) ** 2)
+        seq = SyntheticSequence(
+            num_frames=F, max_points=2048, num_landmarks=landmarks,
+            world_extent=extent, max_range=80.0, seed=0, **kw)
+        scans = jax.device_put(stack_scans([seq.scan(k) for k in range(F)]))
+        jax.block_until_ready(scans.xyz)
+        gt = np.asarray(seq.poses[:F])
+
+        row = {"scenario": name, **kw, "frames": F}
+        for tag, run in (("s2s", run_s2s), ("s2m", run_s2m)):
+            poses = run(scans)
+            jax.block_until_ready(poses)
+            t0 = time.time()
+            poses = run(scans)
+            jax.block_until_ready(poses)
+            dt = time.time() - t0
+            P = np.asarray(poses)
+            ate = ate_rmse(P[:, :3, 3], gt[:, :3, 3], align=False)
+            rpe_t, rpe_r = rpe(P, gt)
+            row[f"{tag}_ate_m"] = round(float(ate), 4)
+            row[f"{tag}_rpe_t_m"] = round(float(rpe_t), 4)
+            row[f"{tag}_rpe_r_deg"] = round(float(np.degrees(rpe_r)), 4)
+            row[f"{tag}_scans_per_s"] = round(F / dt, 1)
+            row[f"{tag}_finite"] = bool(np.isfinite(P).all())
+        rows.append(row)
+        print(f"{name}: s2s ATE {row['s2s_ate_m']} m @ "
+              f"{row['s2s_scans_per_s']}/s | s2m ATE {row['s2m_ate_m']} m @ "
+              f"{row['s2m_scans_per_s']}/s", file=sys.stderr)
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "eval_results.json"), "w") as f:
+        json.dump({"frames": F, "rows": rows}, f, indent=1)
+
+    md = [
+        "# Evaluation suite (synthetic scenario grid)",
+        "",
+        f"{F} frames/scenario, 2048 pts/scan, exact ground truth; "
+        "scan-to-scan = full Doppler-RANSAC + 10-iter ICP odometry, "
+        "scan-to-map = blocked VGICP tracking (block=8, cv-rot prior). "
+        "Generated by `scripts/eval_suite.py`.",
+        "",
+        "| scenario | speed | turn | dyn | noise | s2s ATE [m] | s2s RPE-t [m]"
+        " | s2m ATE [m] | s2m RPE-t [m] | s2m RPE-r [deg] | s2m scans/s |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        md.append(
+            f"| {r['scenario']} | {r['speed']} | {r['turn_rate']} | "
+            f"{r['dynamic_fraction']} | {r['pos_noise']} | {r['s2s_ate_m']} | "
+            f"{r['s2s_rpe_t_m']} | {r['s2m_ate_m']} | {r['s2m_rpe_t_m']} | "
+            f"{r['s2m_rpe_r_deg']} | {r['s2m_scans_per_s']} |")
+    with open(os.path.join(args.out, "EVAL.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(f"wrote {args.out}/EVAL.md and eval_results.json", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
