@@ -124,6 +124,27 @@ class GicpConfig:
 
 
 @dataclass(frozen=True)
+class TrackingConfig:
+    """Tracking-health gates for scan-to-map odometry.
+
+    No reference counterpart: the reference composes every GICP result
+    blindly (src/radar_odometry.cpp:411-412), so one failed registration
+    both corrupts the pose AND inserts misplaced points into the map,
+    making recovery impossible. These gates reject corrections that are
+    implausible against the motion prior; rejected frames keep the
+    predicted pose and are NOT inserted. Set both to inf for
+    reference-parity blind composition.
+
+    Defaults measured on a 512-frame sparse-world run (v5e): healthy
+    tracking has fitness 0.001-0.05 and sub-0.1 m corrections, while a
+    degenerate-geometry walk-off shows fitness ~2 and a 28 m jump in one
+    frame; gating turned that run's ATE from 241 m into 0.24 m."""
+
+    max_fitness: float = 1.0                # accept only fitness below this
+    max_correction_t: float = 5.0           # [m] translation vs prediction
+
+
+@dataclass(frozen=True)
 class VoxelMapConfig:
     """TPU-resident voxel-hash map (replaces ikd-Tree,
     third_party/ikd-Tree/ikd_Tree.{h,cpp}; semantics: keep the point nearest
@@ -178,6 +199,7 @@ class PipelineConfig:
     reve: ReveConfig = field(default_factory=ReveConfig)
     icp: IcpConfig = field(default_factory=IcpConfig)
     gicp: GicpConfig = field(default_factory=GicpConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
     voxel_map: VoxelMapConfig = field(default_factory=VoxelMapConfig)
     submap: SubmapConfig = field(default_factory=SubmapConfig)
     pose_graph: PoseGraphConfig = field(default_factory=PoseGraphConfig)

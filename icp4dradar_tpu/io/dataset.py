@@ -110,7 +110,11 @@ class SyntheticSequence:
             k = n_wall // 4 if i < 3 else n_wall - 3 * (n_wall // 4)
             a = rng.uniform(-self.world_extent, self.world_extent, k)
             z = rng.uniform(-1.0, 6.0, k)
-            c = rng.normal(0.0, 0.05, k) + (i - 1.5) * 40.0
+            # wall offsets scale with LARGE worlds so long trajectories never
+            # leave all vertical structure behind; identical to the historic
+            # (i-1.5)*40 layout for every extent <= 120
+            spacing = max(40.0, self.world_extent / 3.0)
+            c = rng.normal(0.0, 0.05, k) + (i - 1.5) * spacing
             if i % 2 == 0:
                 walls.append(np.stack([a, c, z], axis=-1))
             else:

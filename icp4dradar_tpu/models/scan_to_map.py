@@ -41,6 +41,28 @@ from icp4dradar_tpu.registration.vgicp import vgicp_align
 from icp4dradar_tpu.ops.vgicp_fused import radar_point_covariances_packed
 
 
+def _tracking_gate_enabled(cfg: PipelineConfig) -> bool:
+    import math
+
+    return (math.isfinite(cfg.tracking.max_fitness)
+            or math.isfinite(cfg.tracking.max_correction_t))
+
+
+def _apply_tracking_gate(cfg: PipelineConfig, pose, new_T, fitness,
+                         insert_mask):
+    """Reject implausible corrections: keep the predicted pose and zero the
+    insert mask (a bad registration must not poison the map). Identity when
+    both gates are inf (reference-parity blind composition)."""
+    if not _tracking_gate_enabled(cfg):
+        return new_T, insert_mask, jnp.asarray(True)
+    t = cfg.tracking
+    corr_t = jnp.linalg.norm(new_T[:3, 3] - pose[:3, 3])
+    accept = (fitness < t.max_fitness) & (corr_t < t.max_correction_t)
+    new_T = jnp.where(accept, new_T, pose)
+    insert_mask = insert_mask * accept.astype(insert_mask.dtype)
+    return new_T, insert_mask, accept
+
+
 @struct.dataclass
 class ScanToMapState:
     world_T: jnp.ndarray        # (4,4) current odometry (ref currOdom)
@@ -139,9 +161,13 @@ def scan_to_map_step(
         new_T = g.transform @ pose              # left-compose (ref :412)
         correction = g.transform
 
+    insert_mask = inlier_mask
+    new_T, insert_mask, _ = _apply_tracking_gate(
+        cfg, pose, new_T, g.fitness, insert_mask)
+    correction = new_T @ se3_inverse(pose)
     if not insert_before_registration:
         corrected = se3_apply(new_T, scan.xyz)
-        vmap = voxel_map_insert(vmap, corrected, inlier_mask, scan.intensity)
+        vmap = voxel_map_insert(vmap, corrected, insert_mask, scan.intensity)
 
     new_state = ScanToMapState(world_T=new_T, vmap=vmap)
     out = ScanToMapOutput(
@@ -346,6 +372,9 @@ def run_scan_to_map_blocked(
             src_cov6=src_cov6, init_transform=pose, cfg=cfg.gicp,
             tgt_count=sub_n, gate_axis=axis2)
         new_T = g.transform
+        insert_mask = est.inlier_mask
+        new_T, insert_mask, _ = _apply_tracking_gate(
+            cfg, pose, new_T, g.fitness, insert_mask)
         delta = se3_inverse(pose_in) @ new_T
         new_rot = jnp.eye(4, dtype=delta.dtype).at[:3, :3].set(
             so3_project(delta[:3, :3]))
@@ -361,7 +390,7 @@ def run_scan_to_map_blocked(
             submap_points=sub_n,
             iterations=g.iterations,
         )
-        return (new_T, new_rot, frozen), (out, world_pts, est.inlier_mask,
+        return (new_T, new_rot, frozen), (out, world_pts, insert_mask,
                                           scan.intensity)
 
     def block_step(carry, inp):

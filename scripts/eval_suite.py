@@ -110,9 +110,74 @@ def main() -> int:
               f"{row['s2s_scans_per_s']}/s | s2m ATE {row['s2m_ate_m']} m @ "
               f"{row['s2m_scans_per_s']}/s", file=sys.stderr)
 
+    # ---- loop-closure scenario: a closed circle, pose-graph back-end ----
+    # (the subsystem the reference links Ceres for but never runs)
+    from icp4dradar_tpu.models.pose_graph_odometry import (
+        run_pose_graph_odometry,
+    )
+
+    loop_seq = SyntheticSequence(
+        num_frames=F, max_points=2048, num_landmarks=6000,
+        world_extent=140.0, max_range=80.0, seed=0,
+        speed=1.5, turn_rate=2 * 3.14159265 / F, dynamic_fraction=0.1,
+        pos_noise=0.03)
+    loop_scans = jax.device_put(
+        stack_scans([loop_seq.scan(k) for k in range(F)]))
+    jax.block_until_ready(loop_scans.xyz)
+    res = run_pose_graph_odometry(loop_scans, cfg, keyframe_every=4,
+                                  loop_radius=8.0, min_loop_gap=16)
+    gt = np.asarray(loop_seq.poses[:F])
+    loop_row = {
+        "scenario": "closed-loop",
+        "frames": F,
+        "odom_ate_m": round(ate_rmse(res.odom_poses[:, :3, 3],
+                                     gt[:, :3, 3], align=False), 4),
+        "refined_ate_m": round(ate_rmse(res.poses[:, :3, 3],
+                                        gt[:, :3, 3], align=False), 4),
+        "num_loop_closures": int(res.num_loop_closures),
+    }
+    print(f"closed-loop: odometry ATE {loop_row['odom_ate_m']} m -> "
+          f"pose-graph ATE {loop_row['refined_ate_m']} m "
+          f"({loop_row['num_loop_closures']} loop closures)",
+          file=sys.stderr)
+
+    # ---- long-horizon scenario: 512 frames, sparse world (the regime that
+    # exposed the tracking-gate failure mode; docs/PERFORMANCE.md) ----
+    FL = 512
+    long_seq = SyntheticSequence(
+        num_frames=FL, max_points=2048, num_landmarks=40000,
+        world_extent=400.0, max_range=80.0, seed=0,
+        speed=1.5, turn_rate=0.012, dynamic_fraction=0.1, pos_noise=0.02)
+    long_scans = jax.device_put(
+        stack_scans([long_seq.scan(k) for k in range(FL)]))
+    jax.block_until_ready(long_scans.xyz)
+    run_long = jax.jit(lambda s: run_scan_to_map_blocked(
+        s, cfg, block=8, use_const_velocity_rot=True)[1].world_T)
+    poses = run_long(long_scans)
+    jax.block_until_ready(poses)
+    t0 = time.time()
+    poses = run_long(long_scans)
+    jax.block_until_ready(poses)
+    dtl = time.time() - t0
+    PL = np.asarray(poses)
+    gtl = np.asarray(long_seq.poses[:FL])
+    errl = np.linalg.norm(PL[:, :3, 3] - gtl[:, :3, 3], axis=1)
+    long_row = {
+        "scenario": "long-512-sparse", "frames": FL,
+        "s2m_ate_m": round(ate_rmse(PL[:, :3, 3], gtl[:, :3, 3],
+                                    align=False), 4),
+        "s2m_max_err_m": round(float(errl.max()), 4),
+        "s2m_scans_per_s": round(FL / dtl, 1),
+        "s2m_finite": bool(np.isfinite(PL).all()),
+    }
+    print(f"long-512-sparse: s2m ATE {long_row['s2m_ate_m']} m "
+          f"(max {long_row['s2m_max_err_m']} m) @ "
+          f"{long_row['s2m_scans_per_s']}/s", file=sys.stderr)
+
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "eval_results.json"), "w") as f:
-        json.dump({"frames": F, "rows": rows}, f, indent=1)
+        json.dump({"frames": F, "rows": rows, "loop": loop_row,
+                   "long": long_row}, f, indent=1)
 
     md = [
         "# Evaluation suite (synthetic scenario grid)",
@@ -132,6 +197,19 @@ def main() -> int:
             f"{r['dynamic_fraction']} | {r['pos_noise']} | {r['s2s_ate_m']} | "
             f"{r['s2s_rpe_t_m']} | {r['s2m_ate_m']} | {r['s2m_rpe_t_m']} | "
             f"{r['s2m_rpe_r_deg']} | {r['s2m_scans_per_s']} |")
+    md += [
+        "",
+        f"**Closed loop** ({F} frames, full circle): scan-to-scan odometry "
+        f"ATE {loop_row['odom_ate_m']} m -> pose-graph refined ATE "
+        f"{loop_row['refined_ate_m']} m with "
+        f"{loop_row['num_loop_closures']} ICP-verified loop closures.",
+        "",
+        f"**Long horizon** (512 frames, sparse 800 m world): scan-to-map ATE "
+        f"{long_row['s2m_ate_m']} m, max error {long_row['s2m_max_err_m']} m, "
+        f"{long_row['s2m_scans_per_s']} scans/s — the tracking-health gate "
+        "keeps a degenerate-geometry patch from derailing the run "
+        "(ungated parity mode: 241 m ATE; docs/PERFORMANCE.md).",
+    ]
     with open(os.path.join(args.out, "EVAL.md"), "w") as f:
         f.write("\n".join(md) + "\n")
     print(f"wrote {args.out}/EVAL.md and eval_results.json", file=sys.stderr)

@@ -193,3 +193,44 @@ class TestSubmapAccumulator:
             out = acc.add_frame(T, np.zeros((1, 3), np.float32))
         # keyframe at window open is identity -> world == local
         np.testing.assert_allclose(out, [[10, 0, 0], [20, 0, 0]], atol=1e-6)
+
+
+class TestTrackingGate:
+    def test_gate_rescues_corrupted_frames(self):
+        """Frames whose registration fails (here: scans replaced by junk
+        far from the map) must not corrupt the pose or the map — the gate
+        keeps the predicted pose and skips insertion, and tracking recovers
+        on the next good frame. Ungated (inf) parity mode diverges."""
+        from icp4dradar_tpu.config import PipelineConfig
+
+        seq = make_seq(frames=16)
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        # corrupt frames 8-9: offset points 60 m sideways (registration
+        # against the real map can only produce garbage)
+        xyz = np.asarray(scans.xyz).copy()
+        xyz[8:10, :, 1] += 60.0
+        scans = scans.replace(xyz=jnp.asarray(xyz))
+
+        cfg = small_cfg()                      # finite default gates
+        _, outs = run_scan_to_map(scans, cfg)
+        P = np.asarray(outs.world_T)
+        err = np.linalg.norm(P[:, :3, 3] - seq.poses[:, :3, 3], axis=1)
+        assert np.isfinite(P).all()
+        # recovered after the outage: final frames back under 0.5 m
+        assert err[-3:].max() < 0.5, err
+
+    def test_inf_gates_are_parity_noop(self):
+        from icp4dradar_tpu.config import PipelineConfig
+
+        seq = make_seq(frames=10)
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        cfg = small_cfg()
+        cfg_off = cfg.override(**{
+            "tracking.max_fitness": float("inf"),
+            "tracking.max_correction_t": float("inf"),
+        })
+        _, a = run_scan_to_map(scans, cfg)
+        _, b = run_scan_to_map(scans, cfg_off)
+        # healthy tracking never trips the gate: identical trajectories
+        np.testing.assert_allclose(np.asarray(a.world_T),
+                                   np.asarray(b.world_T), atol=1e-5)
