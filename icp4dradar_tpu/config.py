@@ -158,6 +158,11 @@ class VoxelMapConfig:
     submap_max_points: int = 1 << 14  # fixed-size sector-query output
     sector_radius: float = 80.0       # ref RADAR_RADIUS (radar_odometry.cpp:36)
     sector_half_angle_deg: float = 60.0  # ref ikd_Tree.cpp:1114-1117 heading window
+    # long-run memory maintenance: tombstone voxels farther than this from
+    # the vehicle (inf = never forget, matching the reference, whose map
+    # also grows without bound). Queries only ever reach sector_radius, so
+    # anything comfortably beyond it is dead weight in the hash table.
+    forget_radius: float = float("inf")
 
 
 @dataclass(frozen=True)

@@ -434,6 +434,26 @@ def voxel_map_delete_box(
     )
 
 
+def voxel_map_forget_far(
+    vmap: VoxelHashMap, center: jnp.ndarray, radius: float
+) -> VoxelHashMap:
+    """Tombstone every voxel farther than `radius` from `center` — the
+    long-run memory-maintenance policy (localization only ever queries the
+    80 m sector around the vehicle, so distant map falls out of use; the
+    reference's analog is ikd-Tree `Delete_by_range` box deletes,
+    ikd_Tree.cpp:656-718, which FAST-LIO-style pipelines drive the same
+    way). O(C) masked clear; keys stay (probe chains intact), freed slots
+    revive on key match like every tombstone."""
+    d2 = jnp.sum((vmap.points - center) ** 2, axis=-1)
+    kill = (vmap.occupied > 0.5) & (d2 > radius * radius)
+    return vmap.replace(
+        occupied=jnp.where(kill, 0.0, vmap.occupied),
+        stat_n=jnp.where(kill, 0.0, vmap.stat_n),
+        stat_sum=jnp.where(kill[:, None], 0.0, vmap.stat_sum),
+        stat_sq=jnp.where(kill[:, None], 0.0, vmap.stat_sq),
+    )
+
+
 def voxel_map_delete_points(
     vmap: VoxelHashMap,
     pts: jnp.ndarray,

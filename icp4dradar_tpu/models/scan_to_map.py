@@ -31,6 +31,7 @@ from icp4dradar_tpu.io.scan import RadarScan
 from icp4dradar_tpu.mapping import (
     VoxelHashMap,
     voxel_map_create,
+    voxel_map_forget_far,
     voxel_map_insert,
     voxel_map_sector_search,
 )
@@ -46,6 +47,12 @@ def _tracking_gate_enabled(cfg: PipelineConfig) -> bool:
 
     return (math.isfinite(cfg.tracking.max_fitness)
             or math.isfinite(cfg.tracking.max_correction_t))
+
+
+def _forget_enabled(cfg: PipelineConfig) -> bool:
+    import math
+
+    return math.isfinite(cfg.voxel_map.forget_radius)
 
 
 def _apply_tracking_gate(cfg: PipelineConfig, pose, new_T, fitness,
@@ -168,6 +175,8 @@ def scan_to_map_step(
     if not insert_before_registration:
         corrected = se3_apply(new_T, scan.xyz)
         vmap = voxel_map_insert(vmap, corrected, insert_mask, scan.intensity)
+    if _forget_enabled(cfg):
+        vmap = voxel_map_forget_far(vmap, new_T[:3, 3], vmcfg.forget_radius)
 
     new_state = ScanToMapState(world_T=new_T, vmap=vmap)
     out = ScanToMapOutput(
@@ -427,6 +436,9 @@ def run_scan_to_map_blocked(
             masks.reshape(-1),
             intens.reshape(-1),
         )
+        if _forget_enabled(cfg):
+            vmap = voxel_map_forget_far(vmap, pose[:3, 3],
+                                        vmcfg.forget_radius)
         return (ScanToMapState(world_T=pose, vmap=vmap), prev_rot), outs
 
     block_in = [rest, est_blocks, cov_blocks]

@@ -275,3 +275,34 @@ class TestVoxelStats:
         n_per = np.asarray(m.stat_n)[np.asarray(m.occupied) > 0.5]
         if (n_per == 1).all():
             np.testing.assert_allclose(got, stored, atol=1e-5)
+
+
+class TestForgetFar:
+    def test_far_voxels_tombstoned_near_kept(self, rng):
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.mapping import (
+            voxel_map_create,
+            voxel_map_forget_far,
+            voxel_map_insert,
+            voxel_map_radius_search,
+        )
+
+        vm = voxel_map_create(capacity=1 << 12, voxel_size=0.5)
+        near = rng.uniform(-5, 5, (64, 3)).astype(np.float32)
+        far = near + np.asarray([200.0, 0, 0], np.float32)
+        vm = voxel_map_insert(vm, jnp.asarray(np.concatenate([near, far])))
+        n0 = int(vm.num_voxels)
+        vm2 = voxel_map_forget_far(vm, jnp.zeros(3), 100.0)
+        assert int(vm2.num_voxels) < n0
+        # near points all still queryable
+        pts, mask, cnt = voxel_map_radius_search(vm2, jnp.zeros(3), 10.0, 256)
+        assert int(cnt) > 0
+        _, _, cnt_far = voxel_map_radius_search(
+            vm2, jnp.asarray([200.0, 0, 0]), 10.0, 256)
+        assert int(cnt_far) == 0
+        # forgotten voxels revive on re-insert (tombstones keep keys)
+        vm3 = voxel_map_insert(vm2, jnp.asarray(far))
+        _, _, cnt_re = voxel_map_radius_search(
+            vm3, jnp.asarray([200.0, 0, 0]), 10.0, 256)
+        assert int(cnt_re) > 0
