@@ -192,10 +192,18 @@ _DECODERS = {
 
 
 class RosbagReader:
-    """Sequential reader over a ROS1 v2.0 bag."""
+    """Sequential reader over a ROS1 v2.0 bag.
 
-    def __init__(self, path: str):
+    By default the container layer (record walk, chunk reads, bz2
+    decompression) runs in the native prefetching streamer
+    (native/bagio.cpp) so IO/decompression overlap message decoding — the
+    counterpart of the reference's C++ rosbag::View (radar_odometry.cpp:
+    244-308). Falls back to the pure-Python path when the native library
+    is unavailable or the bag uses an unsupported compression."""
+
+    def __init__(self, path: str, use_native: bool = True):
         self.path = path
+        self.use_native = use_native
         self.connections: Dict[int, Connection] = {}
 
     def read_messages(
@@ -203,6 +211,42 @@ class RosbagReader:
     ) -> Iterator[Tuple[str, object, float]]:
         """Yields (topic, decoded_message, bag_time) in bag order for the
         supported message types (others are skipped)."""
+        if self.use_native:
+            stream = self._native_stream(topics)
+            if stream is not None:
+                yield from stream
+                return
+        yield from self._python_stream(topics)
+
+    def _native_stream(self, topics):
+        """Build the native-backed record iterator, or None to fall back
+        (decided BEFORE any message is yielded — no duplication)."""
+        try:
+            from icp4dradar_tpu.native.bagloader import NativeBagStreamer
+
+            streamer = NativeBagStreamer(self.path)
+            if not streamer.check_supported():
+                streamer.close()
+                return None
+        except Exception:
+            return None
+
+        def gen():
+            try:
+                for op, header_bytes, data in streamer.records():
+                    header = _parse_header(header_bytes)
+                    if op == _OP_CONNECTION:
+                        self._add_connection(header, data)
+                    elif op == _OP_CHUNK:
+                        yield from self._read_chunk(data, topics)
+            finally:
+                streamer.close()
+
+        return gen()
+
+    def _python_stream(
+        self, topics: Optional[List[str]] = None
+    ) -> Iterator[Tuple[str, object, float]]:
         with open(self.path, "rb") as f:
             magic = f.readline()
             if not magic.startswith(b"#ROSBAG V2.0"):
@@ -374,11 +418,16 @@ class RosbagWriter:
         body += np.zeros(36, np.float64).tobytes()
         self._add_msg(topic, "nav_msgs/Odometry", stamp, body)
 
-    def close(self) -> None:
+    def close(self, compression: str = "none") -> None:
         chunk_data = b"".join(self._conn_records + self._messages)
+        raw_len = len(chunk_data)
+        if compression == "bz2":
+            chunk_data = bz2.compress(chunk_data)
+        elif compression != "none":
+            raise ValueError(f"unsupported writer compression: {compression}")
         chunk_h = self._header({
-            "op": b"\x05", "compression": b"none",
-            "size": struct.pack("<I", len(chunk_data)),
+            "op": b"\x05", "compression": compression.encode(),
+            "size": struct.pack("<I", raw_len),
         })
         with open(self.path, "wb") as f:
             f.write(b"#ROSBAG V2.0\n")

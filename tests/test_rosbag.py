@@ -129,3 +129,86 @@ class TestRadarBagDataset:
         assert np.isfinite(np.asarray(outs.world_T)).all()
         gt = ds.gt_poses()
         assert gt is not None and gt.shape == (6, 4, 4)
+
+
+class TestNativeBagStreamer:
+    def _write(self, path, compression):
+        from icp4dradar_tpu.io.rosbag import RosbagWriter
+
+        w = RosbagWriter(path)
+        rng = np.random.default_rng(0)
+        for k in range(5):
+            pts = rng.normal(size=(40, 3)).astype(np.float32) * 10
+            dop = rng.normal(size=40).astype(np.float32)
+            snr = np.abs(rng.normal(10, 2, 40)).astype(np.float32)
+            w.add_pointcloud2("/radar", 0.1 * k, {
+                "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                "snr_db": snr, "noise_db": snr * 0,
+                "v_doppler_mps": dop,
+            })
+            w.add_imu("/imu", 0.1 * k + 0.01, [0, 0, 0, 1], [0, 0, 0.1],
+                      [0, 0, 0])
+            w.add_odometry("/gt", 0.1 * k + 0.02, [k * 1.0, 0, 0],
+                           [0, 0, 0, 1])
+        w.close(compression=compression)
+
+    def _messages(self, path, use_native):
+        from icp4dradar_tpu.io.rosbag import RosbagReader
+
+        out = []
+        for topic, msg, t in RosbagReader(
+                path, use_native=use_native).read_messages():
+            out.append((topic, t))
+        return out
+
+    def test_native_matches_python_none(self, tmp_path):
+        p = str(tmp_path / "a.bag")
+        self._write(p, "none")
+        assert self._messages(p, True) == self._messages(p, False)
+
+    def test_native_matches_python_bz2(self, tmp_path):
+        p = str(tmp_path / "b.bag")
+        self._write(p, "bz2")
+        a = self._messages(p, True)
+        b = self._messages(p, False)
+        assert len(a) == 15 and a == b
+
+    def test_native_path_actually_used(self, tmp_path):
+        from icp4dradar_tpu.io.rosbag import RosbagReader
+
+        p = str(tmp_path / "c.bag")
+        self._write(p, "none")
+        r = RosbagReader(p)
+        assert r._native_stream(None) is not None
+
+    def test_streamer_roundtrips_payloads(self, tmp_path):
+        """Native record payloads (incl. bz2-decompressed chunks) must be
+        byte-identical to the python reader's view."""
+        from icp4dradar_tpu.native.bagloader import NativeBagStreamer
+
+        p = str(tmp_path / "d.bag")
+        self._write(p, "bz2")
+        s = NativeBagStreamer(p)
+        assert s.check_supported()
+        chunks = [d for op, h, d in s.records() if op == 0x05]
+        s.close()
+        import bz2 as pybz2
+        import struct as pystruct
+
+        with open(p, "rb") as f:
+            f.readline()
+            raw_chunks = []
+            while True:
+                lenb = f.read(4)
+                if len(lenb) < 4:
+                    break
+                (hlen,) = pystruct.unpack("<I", lenb)
+                header = f.read(hlen)
+                (dlen,) = pystruct.unpack("<I", f.read(4))
+                data = f.read(dlen)
+                if b"op=\x05" in b"op=" + header or b"\x05" == header[-1:]:
+                    pass
+                if b"compression=bz2" in header:
+                    raw_chunks.append(pybz2.decompress(data))
+        assert len(chunks) == len(raw_chunks) == 1
+        assert chunks[0] == raw_chunks[0]
