@@ -94,6 +94,8 @@ def sharded_scan_to_map_batch(
     cfg: PipelineConfig = PipelineConfig(),
     key: Optional[jax.Array] = None,
     axis: str = "dp",
+    block: int = 0,
+    **kwargs,
 ):
     """Track B independent radar streams with B/n sequences per device —
     each sequence owns a private map, so multi-stream serving scales
@@ -114,7 +116,8 @@ def sharded_scan_to_map_batch(
     keys = jax.random.split(key, B)
 
     out_shapes = jax.eval_shape(
-        lambda s, k: run_scan_to_map_batch(s, cfg, key=jax.random.key(0)),
+        lambda s, k: run_scan_to_map_batch(s, cfg, key=jax.random.key(0),
+                                           block=block, **kwargs),
         scans, keys,
     )
 
@@ -125,10 +128,18 @@ def sharded_scan_to_map_batch(
         check_vma=False,
     )
     def run(scan_shard, key_shard):
-        from icp4dradar_tpu.models.scan_to_map import run_scan_to_map
+        from icp4dradar_tpu.models.scan_to_map import (
+            run_scan_to_map,
+            run_scan_to_map_blocked,
+        )
 
+        if block > 1:
+            return jax.vmap(
+                lambda s, k: run_scan_to_map_blocked(
+                    s, cfg, key=k, block=block, **kwargs)
+            )(scan_shard, key_shard)
         return jax.vmap(
-            lambda s, k: run_scan_to_map(s, cfg, key=k)
+            lambda s, k: run_scan_to_map(s, cfg, key=k, **kwargs)
         )(scan_shard, key_shard)
 
     return run(scans, keys)

@@ -231,3 +231,35 @@ class TestRingVgicp:
         err = float(jnp.abs(se3_log(se3_inverse(T) @ T_true)).max())
         assert err < 1e-2, err
         assert int(iters) >= 1 and float(fit) < 0.05
+
+
+class TestShardedBlockedServing:
+    def test_blocked_batch_over_mesh(self, mesh):
+        """dp-sharded multi-stream serving with the blocked runner: 8
+        streams, one per device, amortized map updates."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.config import PipelineConfig
+        from icp4dradar_tpu.io import SyntheticSequence
+        from icp4dradar_tpu.io.scan import stack_scans
+        from icp4dradar_tpu.parallel import sharded_scan_to_map_batch
+
+        cfg = PipelineConfig().override(**{
+            "max_points": 256,
+            "voxel_map.capacity": 1 << 12,
+            "voxel_map.submap_max_points": 1 << 10,
+            "gicp.max_iterations": 5,
+        })
+        B, F = 8, 8
+        seq = SyntheticSequence(num_frames=B * F, max_points=256,
+                                num_landmarks=2000, world_extent=60.0,
+                                max_range=50.0)
+        scans = stack_scans([seq.scan(k) for k in range(B * F)])
+        batched = jax.tree.map(
+            lambda x: jnp.stack([x[b * F:(b + 1) * F] for b in range(B)]),
+            scans)
+        st, outs = sharded_scan_to_map_batch(
+            batched, mesh, cfg, block=4, use_const_velocity_rot=True)
+        P = np.asarray(outs.world_T)
+        assert P.shape == (B, F, 4, 4)
+        assert np.isfinite(P).all()
