@@ -142,6 +142,7 @@ class TrackingConfig:
 
     max_fitness: float = 1.0                # accept only fitness below this
     max_correction_t: float = 5.0           # [m] translation vs prediction
+    max_correction_rot_deg: float = 25.0    # [deg] rotation vs prediction
 
 
 @dataclass(frozen=True)
@@ -163,6 +164,11 @@ class VoxelMapConfig:
     # also grows without bound). Queries only ever reach sector_radius, so
     # anything comfortably beyond it is dead weight in the hash table.
     forget_radius: float = float("inf")
+    # rehash (rebuild the table from live voxels) once tombstoned slots
+    # exceed this fraction of capacity — tombstones keep their keys to
+    # preserve probe chains, so without rehashing a long forgetful run
+    # permanently consumes slots and new territory stops inserting
+    rehash_tombstone_fraction: float = 0.1
 
 
 @dataclass(frozen=True)

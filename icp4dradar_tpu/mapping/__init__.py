@@ -7,6 +7,8 @@ from icp4dradar_tpu.mapping.voxel_hash import (  # noqa: F401
     voxel_map_insert,
     voxel_map_delete_box,
     voxel_map_forget_far,
+    voxel_map_maybe_rehash,
+    voxel_map_rehash,
     voxel_map_delete_box_acquire,
     voxel_map_delete_points,
     voxel_map_add_box,

@@ -454,6 +454,83 @@ def voxel_map_forget_far(
     )
 
 
+def voxel_map_rehash(vmap: VoxelHashMap) -> VoxelHashMap:
+    """Rebuild the table from live voxels only, releasing every tombstone.
+
+    Tombstones keep their keys so probe chains stay intact, which means a
+    slot once used is never reclaimable by a DIFFERENT voxel — after heavy
+    forgetting (voxel_map_forget_far) the table fills with dead keys and
+    new-territory inserts start dropping. Rehashing moves the live entries
+    (unique keys — no dedupe or incumbent competition needed) into a fresh
+    table: one claim-arbitration scatter per probe round, then one payload
+    scatter. The analog of ikd-Tree's re-balance rebuild (ikd_Tree.cpp:
+    633-653), as a pure function. Live entries whose fresh chain exceeds
+    max_probes are dropped (same pressure policy as insertion)."""
+    C = vmap.capacity
+    live = vmap.occupied > 0.5
+    h0 = _hash(vmap.keys, C)
+    iota = jnp.arange(C, dtype=jnp.int32)
+
+    keys_new = jnp.full((C, 3), _EMPTY, dtype=jnp.int32)
+    slot_res = jnp.full((C,), C, dtype=jnp.int32)
+    offset = jnp.zeros((C,), jnp.int32)
+    alive = live
+
+    def cond_fn(carry):
+        _, _, _, alive, rnd = carry
+        return (rnd < vmap.max_probes) & jnp.any(alive)
+
+    def body_fn(carry):
+        keys_new, slot_res, offset, alive, rnd = carry
+        slot = (h0 + offset) & (C - 1)
+        slot_q = jnp.where(alive, slot, C)
+        gk = keys_new.at[slot_q].get(mode="fill", fill_value=0x7FFFFFFF)
+        empty = (gk[:, 0] == _EMPTY) & alive
+        # arbitrate concurrent claims for one slot by row index
+        cbuf = jnp.full((C + 1,), jnp.int32(C))
+        cbuf = cbuf.at[jnp.where(empty, slot, C)].min(
+            jnp.where(empty, iota, C))
+        win = empty & (cbuf.at[jnp.where(empty, slot, C)].get(
+            mode="fill", fill_value=C) == iota)
+        keys_new = keys_new.at[jnp.where(win, slot, C), :].set(
+            vmap.keys, mode="drop")
+        slot_res = jnp.where(win, slot, slot_res)
+        alive = alive & ~win
+        offset = offset + jnp.where(alive, 1, 0)
+        return keys_new, slot_res, offset, alive, rnd + 1
+
+    keys_new, slot_res, _, _, _ = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (keys_new, slot_res, offset, alive, jnp.int32(0)))
+
+    payload = jnp.concatenate(
+        [vmap.points, vmap.intensity[:, None],
+         jnp.ones((C, 1), vmap.points.dtype),
+         vmap.stat_n[:, None], vmap.stat_sum, vmap.stat_sq], axis=-1)
+    buf = jnp.zeros((C, payload.shape[1]), payload.dtype)
+    buf = buf.at[slot_res, :].set(payload, mode="drop")
+    return vmap.replace(
+        keys=keys_new,
+        points=buf[:, :3],
+        intensity=buf[:, 3],
+        occupied=buf[:, 4],
+        stat_n=buf[:, 5],
+        stat_sum=buf[:, 6:9],
+        stat_sq=buf[:, 9:],
+    )
+
+
+def voxel_map_maybe_rehash(
+    vmap: VoxelHashMap, tombstone_fraction: float = 0.1
+) -> VoxelHashMap:
+    """Rehash when tombstones exceed `tombstone_fraction` of capacity —
+    the jit-safe maintenance trigger (lax.cond; identical pytree shapes)."""
+    tombs = jnp.sum((vmap.keys[:, 0] != _EMPTY) & (vmap.occupied <= 0.5))
+    return jax.lax.cond(
+        tombs > tombstone_fraction * vmap.capacity,
+        voxel_map_rehash, lambda v: v, vmap)
+
+
 def voxel_map_delete_points(
     vmap: VoxelHashMap,
     pts: jnp.ndarray,

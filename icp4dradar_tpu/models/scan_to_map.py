@@ -33,6 +33,7 @@ from icp4dradar_tpu.mapping import (
     voxel_map_create,
     voxel_map_forget_far,
     voxel_map_insert,
+    voxel_map_maybe_rehash,
     voxel_map_sector_search,
 )
 from icp4dradar_tpu.mapping.voxel_hash import voxel_map_sector_search_with_stats
@@ -46,7 +47,8 @@ def _tracking_gate_enabled(cfg: PipelineConfig) -> bool:
     import math
 
     return (math.isfinite(cfg.tracking.max_fitness)
-            or math.isfinite(cfg.tracking.max_correction_t))
+            or math.isfinite(cfg.tracking.max_correction_t)
+            or math.isfinite(cfg.tracking.max_correction_rot_deg))
 
 
 def _forget_enabled(cfg: PipelineConfig) -> bool:
@@ -64,7 +66,13 @@ def _apply_tracking_gate(cfg: PipelineConfig, pose, new_T, fitness,
         return new_T, insert_mask, jnp.asarray(True)
     t = cfg.tracking
     corr_t = jnp.linalg.norm(new_T[:3, 3] - pose[:3, 3])
-    accept = (fitness < t.max_fitness) & (corr_t < t.max_correction_t)
+    # rotation-correction angle from the relative rotation's trace (a
+    # rotation-first walk-off can keep translation and fitness plausible)
+    dR = pose[:3, :3].T @ new_T[:3, :3]
+    cos_a = jnp.clip((jnp.trace(dR) - 1.0) * 0.5, -1.0, 1.0)
+    corr_r = jnp.degrees(jnp.arccos(cos_a))
+    accept = ((fitness < t.max_fitness) & (corr_t < t.max_correction_t)
+              & (corr_r < t.max_correction_rot_deg))
     new_T = jnp.where(accept, new_T, pose)
     insert_mask = insert_mask * accept.astype(insert_mask.dtype)
     return new_T, insert_mask, accept
@@ -158,7 +166,6 @@ def scan_to_map_step(
             tgt_count=sub_n,
         )
         new_T = g.transform
-        correction = new_T @ se3_inverse(pose)
     else:
         submap, submask, sub_n = voxel_map_sector_search(
             vmap, pose[:3, 3], vmcfg.sector_radius, heading,
@@ -166,7 +173,6 @@ def scan_to_map_step(
         )
         g = gicp_align(world_pts, submap, inlier_mask, submask, cfg=cfg.gicp)
         new_T = g.transform @ pose              # left-compose (ref :412)
-        correction = g.transform
 
     insert_mask = inlier_mask
     new_T, insert_mask, _ = _apply_tracking_gate(
@@ -177,6 +183,7 @@ def scan_to_map_step(
         vmap = voxel_map_insert(vmap, corrected, insert_mask, scan.intensity)
     if _forget_enabled(cfg):
         vmap = voxel_map_forget_far(vmap, new_T[:3, 3], vmcfg.forget_radius)
+        vmap = voxel_map_maybe_rehash(vmap, vmcfg.rehash_tombstone_fraction)
 
     new_state = ScanToMapState(world_T=new_T, vmap=vmap)
     out = ScanToMapOutput(
@@ -439,6 +446,11 @@ def run_scan_to_map_blocked(
         if _forget_enabled(cfg):
             vmap = voxel_map_forget_far(vmap, pose[:3, 3],
                                         vmcfg.forget_radius)
+            # reclaim slots once tombstones pile up — without this the
+            # table's keys fill permanently and new territory stops
+            # inserting (tombstones preserve probe chains by design)
+            vmap = voxel_map_maybe_rehash(
+                vmap, vmcfg.rehash_tombstone_fraction)
         return (ScanToMapState(world_T=pose, vmap=vmap), prev_rot), outs
 
     block_in = [rest, est_blocks, cov_blocks]

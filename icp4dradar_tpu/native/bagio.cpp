@@ -46,14 +46,19 @@ bz2_decomp_fn load_bz2() {
 }
 
 struct RecordInfo {
-  int64_t header_off = 0;   // file offset of the header bytes
-  uint32_t hlen = 0;
-  int64_t data_off = 0;     // file offset of the data bytes
-  uint32_t dlen = 0;        // on-disk data length
-  uint32_t usize = 0;       // uncompressed size (== dlen when none)
+  std::vector<char> header;  // header bytes (kept from the indexing pass)
+  int64_t data_off = 0;      // file offset of the data bytes
+  uint32_t dlen = 0;         // on-disk data length
+  uint32_t usize = 0;        // uncompressed size (== dlen when none)
   uint8_t op = 0;
-  uint8_t comp = 0;         // 0 none, 1 bz2, 2 other/unsupported
+  uint8_t comp = 0;          // 0 none, 1 bz2, 2 other/unsupported
 };
+
+// sanity bound: no legitimate bag record header approaches this, and an
+// unvalidated length from a corrupt file must never become a huge
+// allocation (std::bad_alloc cannot cross the C ABI — it would terminate
+// the host process instead of letting Python fall back)
+constexpr uint32_t kMaxHeaderLen = 1u << 20;
 
 struct Bag {
   std::string path;
@@ -141,34 +146,55 @@ struct Bag {
 bool index_bag(Bag* bag) {
   FILE* f = std::fopen(bag->path.c_str(), "rb");
   if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  const int64_t file_size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
   char magic[13] = {0};
   if (std::fread(magic, 1, 13, f) != 13 ||
       std::strncmp(magic, "#ROSBAG V2.0", 12) != 0) {
     std::fclose(f);
     return false;
   }
-  // records start right after the magic line's newline
+  // records start right after the magic line's newline. Any malformed
+  // length / truncated record marks the WHOLE bag invalid (return false):
+  // silently indexing a prefix would make corruption look like an empty or
+  // short bag — the Python reader falls back and raises a proper error.
+  bool ok = true;
   for (;;) {
     uint32_t hlen;
-    if (std::fread(&hlen, 4, 1, f) != 1) break;
+    size_t got = std::fread(&hlen, 4, 1, f);
+    if (got != 1) break;                       // clean EOF
     RecordInfo rec;
-    rec.header_off = std::ftell(f);
-    rec.hlen = hlen;
-    std::vector<char> header(hlen);
-    if (std::fread(header.data(), 1, hlen, f) != hlen) break;
+    if (hlen > kMaxHeaderLen ||
+        std::ftell(f) + (int64_t)hlen + 4 > file_size) {
+      ok = false;
+      break;
+    }
+    rec.header.resize(hlen);
+    if (std::fread(rec.header.data(), 1, hlen, f) != hlen) {
+      ok = false;
+      break;
+    }
     uint32_t dlen;
-    if (std::fread(&dlen, 4, 1, f) != 1) break;
+    if (std::fread(&dlen, 4, 1, f) != 1) {
+      ok = false;
+      break;
+    }
     rec.data_off = std::ftell(f);
+    if (rec.data_off + (int64_t)dlen > file_size) {
+      ok = false;
+      break;
+    }
     rec.dlen = dlen;
     rec.usize = dlen;
     // parse header fields we need: op, compression, size
     size_t off = 0;
     while (off + 4 <= hlen) {
       uint32_t flen;
-      std::memcpy(&flen, header.data() + off, 4);
+      std::memcpy(&flen, rec.header.data() + off, 4);
       off += 4;
       if (off + flen > hlen) break;
-      const char* item = header.data() + off;
+      const char* item = rec.header.data() + off;
       const char* eq = static_cast<const char*>(memchr(item, '=', flen));
       if (eq) {
         std::string name(item, eq - item);
@@ -185,12 +211,14 @@ bool index_bag(Bag* bag) {
       }
       off += flen;
     }
-    bag->records.push_back(rec);
-    if (std::fseek(f, static_cast<long>(rec.data_off) + dlen, SEEK_SET) != 0)
+    bag->records.push_back(std::move(rec));
+    if (std::fseek(f, static_cast<long>(rec.data_off) + dlen, SEEK_SET) != 0) {
+      ok = false;
       break;
+    }
   }
   std::fclose(f);
-  return true;
+  return ok;
 }
 
 std::mutex g_mu;
@@ -207,7 +235,7 @@ Bag* get(int64_t h) {
 
 extern "C" {
 
-int64_t bag_open(const char* path, int prefetch_depth, int n_workers) {
+int64_t bag_open(const char* path, int prefetch_depth, int n_workers) try {
   Bag* bag = new Bag();
   bag->path = path;
   bag->prefetch_depth = prefetch_depth > 0 ? prefetch_depth : 4;
@@ -222,6 +250,8 @@ int64_t bag_open(const char* path, int prefetch_depth, int n_workers) {
   int64_t h = g_next++;
   g_bags[h] = bag;
   return h;
+} catch (...) {
+  return 0;  // exceptions must not cross the C ABI (ctypes would terminate)
 }
 
 int64_t bag_record_count(int64_t h) {
@@ -245,14 +275,10 @@ int bag_record_info(int64_t h, int64_t i, int* op, int64_t* size,
 int64_t bag_read_header(int64_t h, int64_t i, char* buf, int64_t cap) {
   Bag* bag = get(h);
   if (!bag || i < 0 || i >= (int64_t)bag->records.size()) return -1;
-  const RecordInfo& r = bag->records[i];
-  if (cap < r.hlen) return -1;
-  FILE* f = std::fopen(bag->path.c_str(), "rb");
-  if (!f) return -1;
-  bool ok = std::fseek(f, static_cast<long>(r.header_off), SEEK_SET) == 0 &&
-            std::fread(buf, 1, r.hlen, f) == r.hlen;
-  std::fclose(f);
-  return ok ? r.hlen : -1;
+  const RecordInfo& r = bag->records[i];  // kept in memory since indexing
+  if (cap < (int64_t)r.header.size()) return -1;
+  std::memcpy(buf, r.header.data(), r.header.size());
+  return static_cast<int64_t>(r.header.size());
 }
 
 // Blocks until record i's (decompressed) payload is available; serves

@@ -10,29 +10,18 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 from typing import Iterator, Tuple
+
+from icp4dradar_tpu.native.loader import build_native_lib
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "bagio.cpp")
 _SO = os.path.join(_DIR, "libbagio.so")
-_BUILD_LOCK = threading.Lock()
 
 
 def build_native(force: bool = False) -> str:
     """Compile bagio.cpp -> libbagio.so (cached). Raises on failure."""
-    with _BUILD_LOCK:
-        if not force and os.path.exists(_SO) and (
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
-        ):
-            return _SO
-        cmd = [
-            "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-            _SRC, "-o", _SO, "-ldl",
-        ]
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-        return _SO
+    return build_native_lib(_SRC, _SO, extra_flags=("-ldl",), force=force)
 
 
 _lib = None

@@ -15,19 +15,26 @@ _SO = os.path.join(_DIR, "libradario.so")
 _BUILD_LOCK = threading.Lock()
 
 
-def build_native(force: bool = False) -> str:
-    """Compile radario.cpp -> libradario.so (cached). Raises on failure."""
+def build_native_lib(src: str, so: str, extra_flags=(),
+                     force: bool = False) -> str:
+    """Compile a native C++ source -> shared library (mtime-cached).
+    Shared by every native component (radario, bagio). Raises on failure."""
     with _BUILD_LOCK:
-        if not force and os.path.exists(_SO) and (
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+        if not force and os.path.exists(so) and (
+            os.path.getmtime(so) >= os.path.getmtime(src)
         ):
-            return _SO
+            return so
         cmd = [
             "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-            _SRC, "-o", _SO,
+            src, "-o", so, *extra_flags,
         ]
         subprocess.run(cmd, check=True, capture_output=True, text=True)
-        return _SO
+        return so
+
+
+def build_native(force: bool = False) -> str:
+    """Compile radario.cpp -> libradario.so (cached). Raises on failure."""
+    return build_native_lib(_SRC, _SO, force=force)
 
 
 _lib = None

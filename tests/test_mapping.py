@@ -306,3 +306,83 @@ class TestForgetFar:
         _, _, cnt_re = voxel_map_radius_search(
             vm3, jnp.asarray([200.0, 0, 0]), 10.0, 256)
         assert int(cnt_re) > 0
+
+
+class TestRehash:
+    def test_reclaims_tombstoned_slots(self, rng):
+        """Regression (review finding): tombstones keep keys, so without a
+        rehash a fully-forgotten table can never host NEW voxels again."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.mapping import (
+            voxel_map_create,
+            voxel_map_forget_far,
+            voxel_map_insert,
+            voxel_map_rehash,
+        )
+
+        vm = voxel_map_create(capacity=1 << 10, voxel_size=0.5, max_probes=8)
+        # fill the table from region A
+        a = rng.uniform(-8, 8, (4096, 3)).astype(np.float32)
+        vm = voxel_map_insert(vm, jnp.asarray(a))
+        assert int(vm.num_voxels) > 800
+        # forget everything (drive away), then try region B without rehash
+        vm_f = voxel_map_forget_far(vm, jnp.asarray([1e4, 0, 0]), 100.0)
+        b = rng.uniform(192, 208, (4096, 3)).astype(np.float32)
+        stuck = voxel_map_insert(vm_f, jnp.asarray(b))
+        rehashed = voxel_map_insert(voxel_map_rehash(vm_f), jnp.asarray(b))
+        assert int(rehashed.num_voxels) > 500
+        assert int(rehashed.num_voxels) > int(stuck.num_voxels) * 5
+
+    def test_rehash_preserves_live_entries(self, rng):
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.mapping import (
+            voxel_map_create,
+            voxel_map_delete_box,
+            voxel_map_insert,
+            voxel_map_radius_search,
+            voxel_map_rehash,
+        )
+
+        vm = voxel_map_create(capacity=1 << 12, voxel_size=0.5)
+        pts = rng.uniform(-10, 10, (512, 3)).astype(np.float32)
+        vm = voxel_map_insert(vm, jnp.asarray(pts))
+        vm = voxel_map_delete_box(vm, jnp.asarray([-10, -10, -10.0]),
+                                  jnp.asarray([0.0, 10, 10]))
+        before, _, n_before = voxel_map_radius_search(
+            vm, jnp.zeros(3), 20.0, 1024)
+        vm2 = voxel_map_rehash(vm)
+        after, _, n_after = voxel_map_radius_search(
+            vm2, jnp.zeros(3), 20.0, 1024)
+        assert int(n_after) == int(n_before)
+        sb = set(map(tuple, np.asarray(before)[:int(n_before)].round(4).tolist()))
+        sa = set(map(tuple, np.asarray(after)[:int(n_after)].round(4).tolist()))
+        assert sa == sb
+        # stats survive the move
+        np.testing.assert_allclose(float(vm2.stat_n.sum()),
+                                   float(vm.stat_n.sum()), rtol=1e-6)
+
+    def test_maybe_rehash_trigger(self, rng):
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.mapping import (
+            voxel_map_create,
+            voxel_map_forget_far,
+            voxel_map_insert,
+            voxel_map_maybe_rehash,
+        )
+        from icp4dradar_tpu.mapping.voxel_hash import _EMPTY
+
+        vm = voxel_map_create(capacity=1 << 10, voxel_size=0.5)
+        pts = rng.uniform(-8, 8, (2048, 3)).astype(np.float32)
+        vm = voxel_map_insert(vm, jnp.asarray(pts))
+        vm = voxel_map_forget_far(vm, jnp.asarray([1e4, 0, 0]), 100.0)
+        out = voxel_map_maybe_rehash(vm, 0.1)
+        tombs = int(np.sum((np.asarray(out.keys)[:, 0] != _EMPTY)
+                           & (np.asarray(out.occupied) <= 0.5)))
+        assert tombs == 0        # fired: table rebuilt
+        noop = voxel_map_maybe_rehash(vm, 1.5)   # unreachable threshold
+        tombs2 = int(np.sum((np.asarray(noop.keys)[:, 0] != _EMPTY)
+                            & (np.asarray(noop.occupied) <= 0.5)))
+        assert tombs2 > 0        # below threshold: untouched

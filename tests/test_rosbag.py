@@ -206,9 +206,22 @@ class TestNativeBagStreamer:
                 header = f.read(hlen)
                 (dlen,) = pystruct.unpack("<I", f.read(4))
                 data = f.read(dlen)
-                if b"op=\x05" in b"op=" + header or b"\x05" == header[-1:]:
-                    pass
                 if b"compression=bz2" in header:
                     raw_chunks.append(pybz2.decompress(data))
         assert len(chunks) == len(raw_chunks) == 1
         assert chunks[0] == raw_chunks[0]
+
+    def test_corrupt_bag_raises_not_empty(self, tmp_path):
+        """A corrupted bag must raise, not silently decode as empty: the
+        native indexer rejects it and the python fallback raises."""
+        from icp4dradar_tpu.io.rosbag import RosbagReader
+
+        p = str(tmp_path / "bad.bag")
+        with open(p, "wb") as f:
+            f.write(b"#ROSBAG V2.0\n")
+            f.write(b"\xff\xff\xff\xf0garbagegarbage")
+        try:
+            list(RosbagReader(p).read_messages())
+            assert False, "expected an error on a corrupt bag"
+        except Exception:
+            pass
