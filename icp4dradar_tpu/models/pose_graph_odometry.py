@@ -63,13 +63,38 @@ def run_pose_graph_odometry(
     odom_weight: float = 100.0,
     loop_weight: float = 10.0,
     mesh=None,
+    front_end: str = "scan_to_scan",
 ) -> PoseGraphOdometryResult:
     """Full pipeline. Pass a `mesh` to run the GN back-end distributed
-    (parallel.distributed_optimize_pose_graph); None = single device."""
+    (parallel.distributed_optimize_pose_graph); None = single device.
+
+    `front_end`: "scan_to_scan" (pairwise ICP, the icp4radar lineage) or
+    "scan_to_map" (VGICP map tracking — lower-drift odometry in, loop
+    closures + GN absorb the residual long-horizon drift: the full SLAM
+    combination the reference's dormant Ceres factors gesture at)."""
     F = scans.xyz.shape[0]
-    outs = run_scan_to_scan(scans, cfg, use_doppler_prior=True)
-    T_rel = np.asarray(outs.icp_transform)  # (F,4,4)
-    odom = np.asarray(outs.world_T)
+    if front_end == "scan_to_map":
+        from icp4dradar_tpu.models.scan_to_map import (
+            run_scan_to_map,
+            run_scan_to_map_blocked,
+        )
+
+        block = 8
+        if F > block and (F - block) % block == 0:
+            _, m_outs = run_scan_to_map_blocked(
+                scans, cfg, block=block, use_const_velocity_rot=True)
+        else:
+            _, m_outs = run_scan_to_map(scans, cfg)
+        odom = np.asarray(m_outs.world_T)
+        T_rel = np.stack(
+            [np.eye(4, dtype=np.float32)]
+            + [np.linalg.inv(odom[k - 1]) @ odom[k] for k in range(1, F)])
+    elif front_end == "scan_to_scan":
+        outs = run_scan_to_scan(scans, cfg, use_doppler_prior=True)
+        T_rel = np.asarray(outs.icp_transform)  # (F,4,4)
+        odom = np.asarray(outs.world_T)
+    else:
+        raise ValueError(f"unknown front_end: {front_end!r}")
 
     kf = np.arange(0, F, keyframe_every)
     K = len(kf)

@@ -87,6 +87,9 @@ def main(argv=None) -> int:
     p.add_argument("--doppler-prior", action="store_true")
     p.add_argument("--static-only", action="store_true",
                    help="register on static points only (ref USE_STATIC_POINTS)")
+    p.add_argument("--front-end", default="scan_to_scan",
+                   choices=["scan_to_scan", "scan_to_map"],
+                   help="odometry front-end for --mode pose_graph")
     p.add_argument("--cv-rot", action="store_true",
                    help="constant-velocity rotation prior (previous frame's "
                         "refined body rotation seeds the next prediction)")
@@ -134,7 +137,7 @@ def main(argv=None) -> int:
     if args.mode == "pose_graph":
         from icp4dradar_tpu.models import run_pose_graph_odometry
 
-        res = run_pose_graph_odometry(scans, cfg)
+        res = run_pose_graph_odometry(scans, cfg, front_end=args.front_end)
         elapsed = time.time() - t0
         poses = res.poses
         write_rt_txt(os.path.join(args.out, "radar_odometry.txt"), poses)

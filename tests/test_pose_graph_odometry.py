@@ -71,3 +71,31 @@ class TestPoseGraphOdometry:
                                        mesh=make_mesh(8))
         np.testing.assert_allclose(res8.keyframe_poses, res1.keyframe_poses,
                                    atol=1e-2)
+
+
+class TestScanToMapFrontEnd:
+    def test_map_tracking_front_end_with_loop_closure(self, circle_seq):
+        """Pose-graph refinement over the VGICP map-tracking front-end —
+        the full SLAM combination. The refined trajectory must stay at
+        least as accurate as the raw map-tracking odometry."""
+        from icp4dradar_tpu.utils import ate_rmse
+
+        seq = circle_seq
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        res = run_pose_graph_odometry(
+            scans, small_cfg(), keyframe_every=4, loop_radius=8.0,
+            min_loop_gap=24, front_end="scan_to_map",
+        )
+        gt = seq.poses[:, :3, 3]
+        odom_ate = ate_rmse(res.odom_poses[:, :3, 3], gt, align=False)
+        ref_ate = ate_rmse(res.poses[:, :3, 3], gt, align=False)
+        assert np.isfinite(res.poses).all()
+        assert ref_ate < odom_ate + 0.05, (ref_ate, odom_ate)
+
+    def test_unknown_front_end_raises(self, circle_seq):
+        scans = stack_scans([circle_seq.scan(k) for k in range(4)])
+        try:
+            run_pose_graph_odometry(scans, small_cfg(), front_end="bogus")
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
