@@ -132,7 +132,7 @@ class TrackingConfig:
     both corrupts the pose AND inserts misplaced points into the map,
     making recovery impossible. These gates reject corrections that are
     implausible against the motion prior; rejected frames keep the
-    predicted pose and are NOT inserted. Set both to inf for
+    predicted pose and are NOT inserted. Set all three gates to inf for
     reference-parity blind composition.
 
     Defaults measured on a 512-frame sparse-world run (v5e): healthy

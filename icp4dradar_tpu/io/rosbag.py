@@ -11,9 +11,9 @@ hand-rolled deserializers for the three message types the pipeline consumes:
 
 Bag format: "#ROSBAG V2.0" magic, then records of
 [hlen u32][header][dlen u32][data]; header fields are [len u32]"name=value".
-Messages live inside chunk records (op=0x05), compression none or bz2
-(lz4 unsupported -> error). Connection records (op=0x07) map conn ids to
-topics.
+Messages live inside chunk records (op=0x05), compression none, bz2, or
+lz4 (roslz4 writes standard LZ4 frames; decoded via ctypes on the system
+liblz4 — io/lz4f.py). Connection records (op=0x07) map conn ids to topics.
 """
 
 from __future__ import annotations
@@ -263,6 +263,12 @@ class RosbagReader:
                     comp = header.get("compression", b"none").decode()
                     if comp == "bz2":
                         data = bz2.decompress(data)
+                    elif comp == "lz4":
+                        from icp4dradar_tpu.io import lz4f
+
+                        (usize,) = struct.unpack(
+                            "<I", header.get("size", b"\x00\x00\x00\x00"))
+                        data = lz4f.decompress(data, usize)
                     elif comp != "none":
                         raise ValueError(f"unsupported chunk compression: {comp}")
                     yield from self._read_chunk(data, topics)
@@ -423,6 +429,10 @@ class RosbagWriter:
         raw_len = len(chunk_data)
         if compression == "bz2":
             chunk_data = bz2.compress(chunk_data)
+        elif compression == "lz4":
+            from icp4dradar_tpu.io import lz4f
+
+            chunk_data = lz4f.compress(chunk_data)
         elif compression != "none":
             raise ValueError(f"unsupported writer compression: {compression}")
         chunk_h = self._header({

@@ -10,10 +10,12 @@
 // disk IO and decompression overlap Python-side decoding and device
 // compute (same pattern as the .bin loader, radario.cpp).
 //
-// bz2 is resolved at runtime via dlopen("libbz2.so.1") — the container has
-// the runtime library but no -dev files. Unsupported compression (lz4) or
-// a missing libbz2 surfaces as an error code; the Python wrapper falls
-// back to the pure-Python reader.
+// bz2 and lz4 are resolved at runtime via dlopen("libbz2.so.1" /
+// "liblz4.so.1") — the container has the runtime libraries but no -dev
+// files. lz4 chunks are standard LZ4 frames (roslz4), decoded with the
+// LZ4F streaming API. Unsupported compression or a missing library
+// surfaces as an error code; the Python wrapper falls back to the
+// pure-Python reader.
 //
 // C ABI (ctypes): bag_open / bag_record_count / bag_record_info /
 // bag_read_header / bag_read_data / bag_advance / bag_close.
@@ -43,6 +45,67 @@ bz2_decomp_fn load_bz2() {
         dlsym(lib, "BZ2_bzBuffToBuffDecompress"));
   }();
   return fn;
+}
+
+// LZ4 frame API (subset), loaded at runtime
+struct Lz4Api {
+  size_t (*create_dctx)(void**, unsigned);
+  size_t (*free_dctx)(void*);
+  size_t (*decompress)(void*, void*, size_t*, const void*, size_t*,
+                       const void*);
+  unsigned (*is_error)(size_t);
+};
+
+const Lz4Api* load_lz4() {
+  static const Lz4Api* api = []() -> const Lz4Api* {
+    void* lib = dlopen("liblz4.so.1", RTLD_NOW | RTLD_GLOBAL);
+    if (!lib) lib = dlopen("liblz4.so", RTLD_NOW | RTLD_GLOBAL);
+    if (!lib) return nullptr;
+    static Lz4Api a;
+    a.create_dctx = reinterpret_cast<size_t (*)(void**, unsigned)>(
+        dlsym(lib, "LZ4F_createDecompressionContext"));
+    a.free_dctx = reinterpret_cast<size_t (*)(void*)>(
+        dlsym(lib, "LZ4F_freeDecompressionContext"));
+    a.decompress = reinterpret_cast<size_t (*)(void*, void*, size_t*,
+                                               const void*, size_t*,
+                                               const void*)>(
+        dlsym(lib, "LZ4F_decompress"));
+    a.is_error = reinterpret_cast<unsigned (*)(size_t)>(
+        dlsym(lib, "LZ4F_isError"));
+    if (!a.create_dctx || !a.free_dctx || !a.decompress || !a.is_error)
+      return nullptr;
+    return &a;
+  }();
+  return api;
+}
+
+// Decompress one LZ4 frame stream; `hint` pre-sizes the output (the bag
+// chunk header's `size` field — may be wrong on hand-rolled bags).
+bool lz4_decompress(const std::vector<char>& raw, uint32_t hint,
+                    std::vector<char>* out) {
+  const Lz4Api* lz4 = load_lz4();
+  if (!lz4) return false;
+  void* dctx = nullptr;
+  if (lz4->is_error(lz4->create_dctx(&dctx, /*LZ4F_VERSION=*/100)))
+    return false;
+  out->clear();
+  std::vector<char> dst(hint > 0 ? hint : (1u << 16));
+  size_t src_off = 0;
+  bool ok = true;
+  while (src_off < raw.size()) {
+    size_t dst_sz = dst.size();
+    size_t src_sz = raw.size() - src_off;
+    size_t rc = lz4->decompress(dctx, dst.data(), &dst_sz,
+                                raw.data() + src_off, &src_sz, nullptr);
+    if (lz4->is_error(rc) || (dst_sz == 0 && src_sz == 0)) {
+      ok = false;
+      break;
+    }
+    out->insert(out->end(), dst.data(), dst.data() + dst_sz);
+    src_off += src_sz;
+  }
+  lz4->free_dctx(dctx);
+  return ok;
 }
 
 struct RecordInfo {
@@ -107,6 +170,7 @@ struct Bag {
       out->resize(dst_len);
       return true;
     }
+    if (r.comp == 3) return lz4_decompress(raw, r.usize, out);
     return false;  // unsupported compression
   }
 
@@ -204,15 +268,19 @@ bool index_bag(Bag* bag) {
           rec.op = static_cast<uint8_t>(val[0]);
         } else if (name == "compression") {
           std::string c(val, vlen);
-          rec.comp = (c == "none") ? 0 : (c == "bz2") ? 1 : 2;
+          rec.comp = (c == "none") ? 0
+                     : (c == "bz2") ? 1
+                     : (c == "lz4") ? 3
+                                    : 2;
         } else if (name == "size" && vlen >= 4) {
           std::memcpy(&rec.usize, val, 4);
         }
       }
       off += flen;
     }
+    const int64_t next_off = rec.data_off + dlen;  // before the move below
     bag->records.push_back(std::move(rec));
-    if (std::fseek(f, static_cast<long>(rec.data_off) + dlen, SEEK_SET) != 0) {
+    if (std::fseek(f, static_cast<long>(next_off), SEEK_SET) != 0) {
       ok = false;
       break;
     }
@@ -268,7 +336,10 @@ int bag_record_info(int64_t h, int64_t i, int* op, int64_t* size,
   const RecordInfo& r = bag->records[i];
   *op = r.op;
   *size = r.usize;
-  *comp_ok = (r.comp == 2) ? 0 : (r.comp == 1 && !load_bz2()) ? 0 : 1;
+  *comp_ok = (r.comp == 2)                  ? 0
+             : (r.comp == 1 && !load_bz2()) ? 0
+             : (r.comp == 3 && !load_lz4()) ? 0
+                                            : 1;
   return 1;
 }
 
@@ -293,9 +364,12 @@ int64_t bag_read_data(int64_t h, int64_t i, char* buf, int64_t cap) {
     std::memcpy(buf, out.data(), out.size());
     return static_cast<int64_t>(out.size());
   }
+  // store consumer under the lock: a worker evaluating its cv_work.wait
+  // predicate with the stale consumer value could otherwise miss this
+  // notify and sleep forever (lost wakeup), deadlocking the reader
+  std::unique_lock<std::mutex> lk(bag->mu);
   bag->consumer.store(i);
   bag->cv_work.notify_all();
-  std::unique_lock<std::mutex> lk(bag->mu);
   bag->cv_done.wait(lk, [&] {
     auto it = bag->cache.find(i);
     return bag->error.load() ||

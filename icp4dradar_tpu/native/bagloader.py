@@ -95,8 +95,13 @@ class NativeBagStreamer:
             if not comp_ok.value:
                 raise ValueError(
                     "unsupported chunk compression (native reader handles "
-                    "none/bz2)")
+                    "none/bz2/lz4)")
             hlen = self._lib.bag_read_header(self._h, i, hbuf, len(hbuf))
+            if hlen < 0 and len(hbuf) < (1 << 20):
+                # the indexer accepts headers up to kMaxHeaderLen = 1 MB;
+                # grow to that bound and retry before declaring failure
+                hbuf = ctypes.create_string_buffer(1 << 20)
+                hlen = self._lib.bag_read_header(self._h, i, hbuf, len(hbuf))
             if hlen < 0:
                 raise RuntimeError(f"header read failed at record {i}")
             dbuf = ctypes.create_string_buffer(max(int(size.value), 1))

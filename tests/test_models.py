@@ -228,6 +228,7 @@ class TestTrackingGate:
         cfg_off = cfg.override(**{
             "tracking.max_fitness": float("inf"),
             "tracking.max_correction_t": float("inf"),
+            "tracking.max_correction_rot_deg": float("inf"),
         })
         _, a = run_scan_to_map(scans, cfg)
         _, b = run_scan_to_map(scans, cfg_off)

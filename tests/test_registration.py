@@ -93,6 +93,44 @@ class TestGicp:
         nrm = np.abs(evecs[:, :, 0])
         np.testing.assert_allclose(nrm[:, 2], 1.0, atol=1e-3)
 
+    def test_covariances_match_eigh_oracle(self, rng):
+        """Closed-form plane regularization == the eigh construction
+        V diag(eps,1,1) V^T on generic clouds (VERDICT r1 item 9)."""
+        pts = make_structured_cloud(rng, n=600)
+        cov = np.asarray(point_covariances(jnp.asarray(pts), jnp.ones(600)))
+        # oracle: rebuild from numpy eigh of the raw neighborhood covariance
+        from icp4dradar_tpu.ops import knn as knn_op
+        idx, d2 = knn_op(jnp.asarray(pts), jnp.asarray(pts), 5,
+                         jnp.ones(600))
+        neigh = pts[np.asarray(idx)]
+        mu = neigh.mean(axis=1, keepdims=True)
+        c = neigh - mu
+        raw = np.einsum("nki,nkj->nij", c, c) / 5.0
+        evals, evecs = np.linalg.eigh(raw.astype(np.float64))
+        reg = np.einsum("nij,nj,nkj->nik", evecs,
+                        np.stack([np.full(600, 1e-3),
+                                  np.ones(600), np.ones(600)], -1), evecs)
+        np.testing.assert_allclose(cov, reg, atol=2e-4)
+
+    def test_covariances_no_lapack_in_jaxpr(self):
+        pts = jnp.ones((64, 3))
+        jaxpr = str(jax.make_jaxpr(
+            lambda x: point_covariances(x, jnp.ones(64)))(pts))
+        assert "eigh" not in jaxpr and "tridiagonal" not in jaxpr
+
+    def test_covariances_degenerate_line(self):
+        """Collinear neighborhoods (repeated smallest eigenvalue): result
+        must still have spectrum (eps, 1, 1) with the eps-direction
+        orthogonal to the line."""
+        t = np.linspace(0, 1, 50).astype(np.float32)
+        pts = np.stack([t * 4.0, t * 3.0, np.zeros_like(t)], -1)
+        cov = np.asarray(point_covariances(jnp.asarray(pts), jnp.ones(50)))
+        evals, evecs = np.linalg.eigh(cov)
+        np.testing.assert_allclose(evals[:, 1:], 1.0, atol=1e-4)
+        np.testing.assert_allclose(evals[:, 0], 1e-3, atol=1e-4)
+        line = np.array([0.8, 0.6, 0.0])
+        np.testing.assert_allclose(evecs[:, :, 0] @ line, 0.0, atol=1e-3)
+
     def test_recovers_transform_structured(self, rng):
         tgt = make_structured_cloud(rng)
         T_true = se3_exp(jnp.asarray([0.4, -0.3, 0.05, 0.01, -0.02, 0.04],
