@@ -35,6 +35,9 @@ from flax import struct
 from icp4dradar_tpu.config import PoseGraphConfig
 from icp4dradar_tpu.geom.se3 import se3_exp
 from icp4dradar_tpu.graph.factors import (
+    point_to_line_residual,
+    point_to_plane_norm_residual,
+    point_to_plane_residual,
     point_to_point_residual,
     relative_pose_residual,
 )
@@ -88,10 +91,96 @@ class PointFactors:
 
 
 @struct.dataclass
+class LineFactors:
+    """Point-to-line factors (P,): body point p under pose k should fall on
+    the world line through (a, b) — the reference's RadarEdgeFactor
+    (include/radarFactor.hpp:11-54), as a live solver citizen."""
+
+    k: jnp.ndarray        # (P,) int32 keyframe index
+    p_body: jnp.ndarray   # (P,3)
+    line_a: jnp.ndarray   # (P,3)
+    line_b: jnp.ndarray   # (P,3)
+    weight: jnp.ndarray   # (P,)
+    mask: jnp.ndarray     # (P,)
+
+    @classmethod
+    def build(cls, k, p_body, line_a, line_b, weight=None, mask=None):
+        k = jnp.asarray(k, jnp.int32)
+        P = k.shape[0]
+        if weight is None:
+            weight = jnp.ones(P, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(P, jnp.float32)
+        return cls(k=k, p_body=jnp.asarray(p_body),
+                   line_a=jnp.asarray(line_a), line_b=jnp.asarray(line_b),
+                   weight=jnp.asarray(weight), mask=jnp.asarray(mask))
+
+
+@struct.dataclass
+class PlaneFactors:
+    """Point-to-plane factors with precomputed unit normal + offset — the
+    reference's LidarPlaneNormFactor (include/radarFactor.hpp:105-137):
+    residual n . (T p) + d."""
+
+    k: jnp.ndarray        # (P,) int32 keyframe index
+    p_body: jnp.ndarray   # (P,3)
+    normal: jnp.ndarray   # (P,3) unit plane normal (world)
+    offset: jnp.ndarray   # (P,) negative_OA_dot_norm
+    weight: jnp.ndarray   # (P,)
+    mask: jnp.ndarray     # (P,)
+
+    @classmethod
+    def build(cls, k, p_body, normal, offset, weight=None, mask=None):
+        k = jnp.asarray(k, jnp.int32)
+        P = k.shape[0]
+        if weight is None:
+            weight = jnp.ones(P, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(P, jnp.float32)
+        return cls(k=k, p_body=jnp.asarray(p_body),
+                   normal=jnp.asarray(normal),
+                   offset=jnp.asarray(offset),
+                   weight=jnp.asarray(weight), mask=jnp.asarray(mask))
+
+
+@struct.dataclass
+class Plane3Factors:
+    """Point-to-plane factors through three world points — the reference's
+    LidarPlaneFactor (include/radarFactor.hpp:56-103): signed distance of
+    T p to the plane spanned by (j, l, m)."""
+
+    k: jnp.ndarray        # (P,) int32 keyframe index
+    p_body: jnp.ndarray   # (P,3)
+    plane_j: jnp.ndarray  # (P,3)
+    plane_l: jnp.ndarray  # (P,3)
+    plane_m: jnp.ndarray  # (P,3)
+    weight: jnp.ndarray   # (P,)
+    mask: jnp.ndarray     # (P,)
+
+    @classmethod
+    def build(cls, k, p_body, plane_j, plane_l, plane_m,
+              weight=None, mask=None):
+        k = jnp.asarray(k, jnp.int32)
+        P = k.shape[0]
+        if weight is None:
+            weight = jnp.ones(P, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(P, jnp.float32)
+        return cls(k=k, p_body=jnp.asarray(p_body),
+                   plane_j=jnp.asarray(plane_j),
+                   plane_l=jnp.asarray(plane_l),
+                   plane_m=jnp.asarray(plane_m),
+                   weight=jnp.asarray(weight), mask=jnp.asarray(mask))
+
+
+@struct.dataclass
 class PoseGraph:
     poses: jnp.ndarray               # (K,4,4)
     rel: Optional[RelPoseFactors] = None
     points: Optional[PointFactors] = None
+    lines: Optional[LineFactors] = None
+    planes: Optional[PlaneFactors] = None
+    planes3: Optional[Plane3Factors] = None
 
 
 def _huber_weight(r2: jnp.ndarray, delta: float) -> jnp.ndarray:

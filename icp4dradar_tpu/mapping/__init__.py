@@ -17,4 +17,5 @@ from icp4dradar_tpu.mapping.voxel_hash import (  # noqa: F401
     voxel_map_sector_search,
     voxel_map_stencil_neighbors,
     voxel_map_knn,
+    voxel_map_knn_exact,
 )

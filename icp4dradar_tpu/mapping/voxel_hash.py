@@ -616,30 +616,36 @@ def voxel_map_stencil_neighbors(
     queries: (N,3) -> (points (N, K, 3), valid (N, K)) with K=(2s+1)^3.
     Each voxel contributes its single stored point.
     """
-    C = vmap.capacity
     L = vmap.voxel_size
     base = _voxel_coords(queries, L)                     # (N,3)
     s = stencil_radius
     r = jnp.arange(-s, s + 1, dtype=jnp.int32)
     offsets = jnp.stack(jnp.meshgrid(r, r, r, indexing="ij"), axis=-1).reshape(-1, 3)
-    K = offsets.shape[0]
-
     coords = base[:, None, :] + offsets[None, :, :]       # (N,K,3)
+    return _lookup_voxels(vmap, coords)
+
+
+def _lookup_voxels(
+    vmap: VoxelHashMap, coords: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather the stored point of each integer voxel coordinate (..., 3)
+    -> (points (..., 3), found (...)). One widened gather per probe round
+    over the whole coordinate block (TPU: op count, not row count, is the
+    cost driver)."""
+    C = vmap.capacity
     h = _hash(coords, C)
-    found_pts = jnp.zeros(queries.shape[:1] + (K, 3), dtype=queries.dtype)
-    found = jnp.zeros(queries.shape[:1] + (K,), dtype=bool)
+    found_pts = jnp.zeros(coords.shape[:-1] + (3,), dtype=vmap.points.dtype)
+    found = jnp.zeros(coords.shape[:-1], dtype=bool)
 
     def probe(carry, j):
         found_pts, found = carry
         slot = (h + j) & (C - 1)
-        sk = vmap.keys[slot]                              # (N,K,3)
+        sk = vmap.keys[slot]                              # (...,3)
         so = vmap.occupied[slot] > 0.5
         hit = jnp.all(sk == coords, axis=-1) & so & (~found)
         pts = vmap.points[slot]
         found_pts = jnp.where(hit[..., None], pts, found_pts)
         found = found | hit
-        # stop probing a chain at the first empty slot: the voxel cannot be
-        # further along (insertion never skips an empty slot)
         return (found_pts, found), None
 
     (found_pts, found), _ = jax.lax.scan(
@@ -669,3 +675,86 @@ def voxel_map_knn(
     neg, idx = jax.lax.top_k(-d2, k)
     pts = jnp.take_along_axis(cand, idx[..., None], axis=1)
     return -neg, pts
+
+
+def voxel_map_knn_exact(
+    vmap: VoxelHashMap,
+    queries: jnp.ndarray,
+    k: int,
+    max_dist: float = 2.0,
+    chunk: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EXACT k nearest map points per query within max_dist — the whole-map
+    `Nearest_Search` + max_dist gate (ikd_Tree.cpp:368-398;
+    MAX_SEARCH_RADIUS=2.0 at src/radar_odometry.cpp:35), without the
+    stencil-reach bound of voxel_map_knn.
+
+    TPU formulation of branch-and-bound descent: candidate voxel offsets out
+    to max_dist are pre-sorted (at trace time) by a static lower bound on
+    their distance to the query's voxel, then visited in fixed-size chunks
+    inside a while_loop. Each chunk is ONE widened gather (op count, not row
+    count, drives cost); the loop exits early once every query's k-th best
+    distance beats the next chunk's lower bound — the same pruning the
+    kd-tree's `calc_box_dist` test performs, batched.
+
+    `max_dist` must be a static Python float (it fixes the candidate set).
+    queries: (N,3) -> (dists2 (N,k), points (N,k,3)); missing neighbors
+    carry +inf distance.
+    """
+    import numpy as np
+
+    if not np.isfinite(max_dist) or max_dist <= 0:
+        raise ValueError("voxel_map_knn_exact needs a finite max_dist > 0")
+    L = vmap.voxel_size
+    R = int(np.floor(max_dist / L)) + 1
+    r = np.arange(-R, R + 1)
+    offs = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+    # lower bound: any point in the query's voxel vs any point in the offset
+    # voxel is at least L * (|o_i| - 1) apart per axis
+    dmin = L * np.sqrt(
+        (np.maximum(np.abs(offs) - 1, 0).astype(np.float64) ** 2).sum(-1))
+    keep = dmin <= max_dist
+    offs, dmin = offs[keep], dmin[keep]
+    order = np.argsort(dmin, kind="stable")
+    offs, dmin = offs[order], dmin[order]
+    n_off = offs.shape[0]
+    chunk = min(chunk, n_off)
+    n_chunks = -(-n_off // chunk)
+    pad = n_chunks * chunk - n_off
+    offs_p = np.pad(offs, ((0, pad), (0, 0)))
+    valid_p = np.pad(np.ones(n_off, bool), (0, pad))
+    # squared lower bound of chunk c's first (closest) offset; consulted
+    # BEFORE visiting chunk c — if every query's k-th best already beats it,
+    # no later voxel can improve the answer (dmin is ascending)
+    lb2 = np.full(n_chunks + 1, np.inf, np.float32)
+    lb2[:n_chunks] = (dmin[::chunk] ** 2).astype(np.float32)
+    chunk_off = jnp.asarray(offs_p.reshape(n_chunks, chunk, 3), jnp.int32)
+    chunk_valid = jnp.asarray(valid_p.reshape(n_chunks, chunk))
+    lb2 = jnp.asarray(lb2)
+
+    N = queries.shape[0]
+    base = _voxel_coords(queries, L)                     # (N,3)
+    best_d2 = jnp.full((N, k), jnp.inf, queries.dtype)
+    best_pts = jnp.zeros((N, k, 3), queries.dtype)
+    md2 = jnp.asarray(max_dist * max_dist, queries.dtype)
+
+    def cond(state):
+        best_d2, _, c = state
+        return (c < n_chunks) & jnp.any(best_d2[:, k - 1] > lb2[c])
+
+    def body(state):
+        best_d2, best_pts, c = state
+        o = chunk_off[c]                                 # (CH,3)
+        coords = base[:, None, :] + o[None, :, :]        # (N,CH,3)
+        pts, found = _lookup_voxels(vmap, coords)
+        d2 = jnp.sum((pts - queries[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(found & chunk_valid[c] & (d2 < md2), d2, jnp.inf)
+        all_d2 = jnp.concatenate([best_d2, d2], axis=-1)
+        all_pts = jnp.concatenate([best_pts, pts], axis=1)
+        neg, idx = jax.lax.top_k(-all_d2, k)
+        return (-neg, jnp.take_along_axis(all_pts, idx[..., None], axis=1),
+                c + 1)
+
+    best_d2, best_pts, _ = jax.lax.while_loop(
+        cond, body, (best_d2, best_pts, jnp.int32(0)))
+    return best_d2, best_pts

@@ -152,6 +152,75 @@ class TestQueries:
         assert ok >= 48  # nearest can be outside stencil only for far queries
 
 
+class TestKnnExact:
+    """Whole-map k-NN parity (ikd_Tree.cpp:368-398 Nearest_Search +
+    max_dist): VERDICT r1 missing #3 — the radius-1 stencil's reach is
+    (1.5 * L); at sparse occupancy it silently returns nothing."""
+
+    def _oracle(self, stored, q, k, max_dist):
+        d2 = ((stored[None] - q[:, None]) ** 2).sum(-1)
+        d2 = np.where(d2 < max_dist * max_dist, d2, np.inf)
+        d2s = np.sort(d2, axis=-1)[:, :k]
+        if d2s.shape[1] < k:
+            d2s = np.pad(d2s, ((0, 0), (0, k - d2s.shape[1])),
+                         constant_values=np.inf)
+        return d2s
+
+    def test_sparse_occupancy_beyond_stencil(self):
+        from icp4dradar_tpu.mapping import voxel_map_knn, voxel_map_knn_exact
+
+        m = voxel_map_create(capacity=1 << 10, voxel_size=0.5)
+        # nearest occupied voxel is ~1.3 m from the query: outside the
+        # radius-1 stencil reach (0.75 m), inside max_dist=2.0
+        pts = np.array([[1.3, 0.0, 0.0], [0.0, 1.6, 0.0]], np.float32)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        q = np.zeros((1, 3), np.float32)
+        d2_sten, _ = voxel_map_knn(m, jnp.asarray(q), k=2, stencil_radius=1)
+        assert np.all(np.isinf(np.asarray(d2_sten)))  # stencil provably misses
+        d2, p = voxel_map_knn_exact(m, jnp.asarray(q), k=2, max_dist=2.0)
+        np.testing.assert_allclose(
+            np.sqrt(np.asarray(d2)[0]), [1.3, 1.6], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(p)[0, 0], pts[0], atol=1e-6)
+
+    def test_oracle_random_map(self, rng):
+        from icp4dradar_tpu.mapping import voxel_map_knn_exact
+
+        pts = rng.uniform(-8, 8, (300, 3)).astype(np.float32)
+        m = voxel_map_create(capacity=1 << 12, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        stored = np.asarray(m.points)[np.asarray(m.occupied) > 0.5]
+        q = rng.uniform(-9, 9, (64, 3)).astype(np.float32)
+        for max_dist in (1.0, 2.0, 3.5):
+            d2, p = voxel_map_knn_exact(m, jnp.asarray(q), k=5,
+                                        max_dist=max_dist)
+            want = self._oracle(stored, q, 5, max_dist)
+            np.testing.assert_allclose(np.asarray(d2), want, rtol=1e-4,
+                                       atol=1e-5)
+
+    def test_max_dist_gate(self, rng):
+        from icp4dradar_tpu.mapping import voxel_map_knn_exact
+
+        m = voxel_map_create(capacity=1 << 8, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(
+            np.array([[3.0, 0.0, 0.0]], np.float32)))
+        d2, _ = voxel_map_knn_exact(m, jnp.zeros((1, 3)), k=1, max_dist=2.0)
+        assert np.isinf(float(d2[0, 0]))
+        d2, _ = voxel_map_knn_exact(m, jnp.zeros((1, 3)), k=1, max_dist=3.5)
+        np.testing.assert_allclose(float(d2[0, 0]), 9.0, rtol=1e-5)
+
+    def test_jittable(self, rng):
+        from icp4dradar_tpu.mapping import voxel_map_knn_exact
+
+        pts = rng.uniform(-4, 4, (100, 3)).astype(np.float32)
+        m = voxel_map_create(capacity=1 << 10, voxel_size=0.5)
+        m = voxel_map_insert(m, jnp.asarray(pts))
+        q = rng.uniform(-4, 4, (16, 3)).astype(np.float32)
+        f = jax.jit(lambda vm, qq: voxel_map_knn_exact(vm, qq, 3, 2.0))
+        d2j, pj = f(m, jnp.asarray(q))
+        d2e, pe = voxel_map_knn_exact(m, jnp.asarray(q), 3, 2.0)
+        np.testing.assert_allclose(np.asarray(d2j), np.asarray(d2e), rtol=1e-6)
+
+
 class TestDelete:
     def test_delete_box_then_revive(self, rng):
         pts = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
