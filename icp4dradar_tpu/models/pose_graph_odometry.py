@@ -26,7 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from icp4dradar_tpu.config import PipelineConfig, PoseGraphConfig
-from icp4dradar_tpu.graph import PoseGraph, RelPoseFactors, optimize_pose_graph
+from icp4dradar_tpu.graph import (
+    PoseGraph,
+    RelPoseFactors,
+    optimize_pose_graph_block,
+)
 from icp4dradar_tpu.io.scan import RadarScan
 from icp4dradar_tpu.models.scan_to_scan import run_scan_to_scan
 from icp4dradar_tpu.registration.icp import icp_point_to_point
@@ -64,6 +68,7 @@ def run_pose_graph_odometry(
     loop_weight: float = 10.0,
     mesh=None,
     front_end: str = "scan_to_scan",
+    structure_factors: bool = False,
 ) -> PoseGraphOdometryResult:
     """Full pipeline. Pass a `mesh` to run the GN back-end distributed
     (parallel.distributed_optimize_pose_graph); None = single device.
@@ -71,7 +76,15 @@ def run_pose_graph_odometry(
     `front_end`: "scan_to_scan" (pairwise ICP, the icp4radar lineage) or
     "scan_to_map" (VGICP map tracking — lower-drift odometry in, loop
     closures + GN absorb the residual long-horizon drift: the full SLAM
-    combination the reference's dormant Ceres factors gesture at)."""
+    combination the reference's dormant Ceres factors gesture at).
+
+    `structure_factors`: also mine keyframe-to-map line/plane/point factors
+    from the voxel map's Gaussians (graph/structure_factors.py) — the
+    correspondence stage for the reference's edge/plane functors
+    (include/radarFactor.hpp:11-137). These anchor every keyframe against
+    shared world structure, so independent per-frame odometry noise averages
+    out where between-factors alone (consistent with the odometry by
+    construction) cannot move anything."""
     F = scans.xyz.shape[0]
     if front_end == "scan_to_map":
         from icp4dradar_tpu.models.scan_to_map import (
@@ -161,33 +174,87 @@ def run_pose_graph_odometry(
                 f_w.append(loop_weight)
                 n_loops += 1
 
+    def reanchor(kf_refined: np.ndarray) -> np.ndarray:
+        """Re-anchor every frame to its segment's refined keyframe."""
+        poses = odom.copy()
+        for i in range(K):
+            lo = int(kf[i])
+            hi = int(kf[i + 1]) if i + 1 < K else F
+            correction = kf_refined[i] @ np.linalg.inv(odom[lo])
+            poses[lo:hi] = correction @ odom[lo:hi]
+        return poses
+
+    def mine_structure_factors(frame_poses: np.ndarray,
+                               kf_poses: np.ndarray) -> dict:
+        """Keyframe-to-map edge/plane factor mining at the given alignment
+        (graph/structure_factors.py): all frames insert into a fresh voxel
+        map, each keyframe's point budget matches against its Gaussians."""
+        from icp4dradar_tpu.graph.structure_factors import (
+            build_structure_factors,
+        )
+        from icp4dradar_tpu.mapping import voxel_map_create, voxel_map_insert
+        from icp4dradar_tpu.ops.compaction import mask_compact
+
+        sc = cfg.structure
+        world = (np.einsum("fij,fnj->fni", frame_poses[:, :3, :3],
+                           np.asarray(scans.xyz))
+                 + frame_poses[:, None, :3, 3])
+        vm = voxel_map_create(capacity=cfg.voxel_map.capacity,
+                              voxel_size=cfg.voxel_map.voxel_size)
+        vm = voxel_map_insert(
+            vm, jnp.asarray(world.reshape(-1, 3).astype(np.float32)),
+            mask=jnp.asarray(np.asarray(scans.mask).reshape(-1)))
+
+        N = sc.points_per_keyframe
+        kf_xyz = jnp.asarray(np.asarray(scans.xyz)[kf])
+        kf_mask = jnp.asarray(np.asarray(scans.mask)[kf])
+        comp, cmask, _ = jax.vmap(
+            lambda x, m: mask_compact(x, m, N))(kf_xyz, kf_mask)
+        kf_ids = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+        Rk = jnp.asarray(kf_poses[:, :3, :3].astype(np.float32))
+        tk = jnp.asarray(kf_poses[:, :3, 3].astype(np.float32))
+        p_world = (jnp.einsum("kij,knj->kni", Rk, comp)
+                   + tk[:, None, :]).reshape(-1, 3)
+        planes, lines, points = build_structure_factors(
+            kf_ids, comp.reshape(-1, 3), p_world, cmask.reshape(-1), vm, sc)
+        out = dict(planes=planes, lines=lines)
+        if sc.use_point_factors:
+            out["points"] = points
+        return out
+
     result_cost = 0.0
+    kf_refined = kf_odom
     if len(fi):
         rel = RelPoseFactors.build(
             np.asarray(fi, np.int32), np.asarray(fj, np.int32),
             np.stack(f_T).astype(np.float32), np.asarray(f_w, np.float32),
         )
-        graph = PoseGraph(poses=jnp.asarray(kf_odom), rel=rel)
-        if mesh is not None:
-            from icp4dradar_tpu.parallel import distributed_optimize_pose_graph
+        frames_cur = odom
+        rounds = cfg.structure.rounds if structure_factors else 1
+        for _ in range(rounds):
+            struct_factors = (
+                mine_structure_factors(frames_cur, kf_refined)
+                if structure_factors else {})
+            graph = PoseGraph(poses=jnp.asarray(kf_refined), rel=rel,
+                              **struct_factors)
+            if mesh is not None:
+                from icp4dradar_tpu.parallel import (
+                    distributed_optimize_pose_graph,
+                )
 
-            graph, cost = distributed_optimize_pose_graph(
-                graph, mesh, cfg.pose_graph
-            )
-        else:
-            graph, cost = optimize_pose_graph(graph, cfg.pose_graph)
-        kf_refined = np.asarray(graph.poses)
-        result_cost = float(cost)
-    else:
-        kf_refined = kf_odom
+                graph, cost = distributed_optimize_pose_graph(
+                    graph, mesh, cfg.pose_graph
+                )
+            else:
+                # block-sparse solver: O(K) in keyframes where the dense
+                # 6Kx6K path is O(K^2) memory — equality-tested against it
+                # (tests/test_graph.py::TestBlockSolver)
+                graph, cost = optimize_pose_graph_block(graph, cfg.pose_graph)
+            kf_refined = np.asarray(graph.poses)
+            result_cost = float(cost)
+            frames_cur = reanchor(kf_refined)
 
-    # ---- re-anchor every frame to its segment's refined keyframe ----
-    poses = odom.copy()
-    for i in range(K):
-        lo = int(kf[i])
-        hi = int(kf[i + 1]) if i + 1 < K else F
-        correction = kf_refined[i] @ np.linalg.inv(odom[lo])
-        poses[lo:hi] = correction @ odom[lo:hi]
+    poses = reanchor(kf_refined)
 
     return PoseGraphOdometryResult(
         poses=poses,

@@ -87,6 +87,9 @@ def main(argv=None) -> int:
     p.add_argument("--doppler-prior", action="store_true")
     p.add_argument("--static-only", action="store_true",
                    help="register on static points only (ref USE_STATIC_POINTS)")
+    p.add_argument("--structure-factors", action="store_true",
+                   help="mine keyframe-to-map line/plane factors into the "
+                        "pose-graph back-end (--mode pose_graph)")
     p.add_argument("--front-end", default="scan_to_scan",
                    choices=["scan_to_scan", "scan_to_map"],
                    help="odometry front-end for --mode pose_graph")
@@ -137,7 +140,9 @@ def main(argv=None) -> int:
     if args.mode == "pose_graph":
         from icp4dradar_tpu.models import run_pose_graph_odometry
 
-        res = run_pose_graph_odometry(scans, cfg, front_end=args.front_end)
+        res = run_pose_graph_odometry(
+            scans, cfg, front_end=args.front_end,
+            structure_factors=args.structure_factors)
         elapsed = time.time() - t0
         poses = res.poses
         write_rt_txt(os.path.join(args.out, "radar_odometry.txt"), poses)

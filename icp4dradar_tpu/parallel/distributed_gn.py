@@ -9,6 +9,14 @@ dense Cholesky on the MXU). This is the reduced-system/psum pattern of
 distributed Schur-complement bundle adjustment with the pose block as the
 reduced system.
 
+ALL factor types shard: between-factors and the single-pose families
+(point / line / plane / plane-norm, include/radarFactor.hpp:11-171) pad
+with masked-out rows to a mesh multiple and split row-wise.
+
+The whole GN iteration loop runs INSIDE one shard_map'd while_loop — one
+dispatch for the entire optimization, no host sync per iteration (the
+convergence scalar is replicated, so every device takes the same branch).
+
 Works identically on a real pod slice and on the 8-virtual-device CPU mesh
 used by tests (conftest.py) and the driver's dryrun.
 """
@@ -26,84 +34,90 @@ from icp4dradar_tpu.config import PoseGraphConfig
 from icp4dradar_tpu.graph.gauss_newton import (
     PoseGraph,
     PointFactors,
+    LineFactors,
+    PlaneFactors,
+    Plane3Factors,
     RelPoseFactors,
     pose_graph_normal_equations,
     solve_pose_graph_step,
 )
 
+# factor-family slots on PoseGraph that shard row-wise, with finite filler
+# payloads for the masked pad rows (residual fns must stay NaN-free there:
+# a 0/0 in a padded row would poison the psum through 0 * nan)
+_FACTOR_FIELDS = ("rel", "points", "lines", "planes", "planes3")
+_PAD_FILLERS = {
+    "T_meas": jnp.eye(4),
+    "line_b": jnp.asarray([1.0, 0.0, 0.0]),
+    "normal": jnp.asarray([0.0, 0.0, 1.0]),
+    "plane_l": jnp.asarray([1.0, 0.0, 0.0]),
+    "plane_m": jnp.asarray([0.0, 1.0, 0.0]),
+}
 
-def _pad_to_multiple(x: jnp.ndarray, m: int) -> jnp.ndarray:
-    pad = (-x.shape[0]) % m
+
+def _pad_container(fac, n: int):
+    """Pad every per-factor array to a multiple of n with masked-out rows."""
+    F = fac.mask.shape[0]
+    pad = (-F) % n
     if pad == 0:
-        return x
-    pad_width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-    return jnp.pad(x, pad_width)
+        return fac
+
+    def pad_field(name, x):
+        fill = _PAD_FILLERS.get(name)
+        if fill is not None:
+            tail = jnp.broadcast_to(fill.astype(x.dtype),
+                                    (pad,) + fill.shape)
+        else:
+            tail = jnp.zeros((pad,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([x, tail])
+
+    kw = {name: pad_field(name, getattr(fac, name))
+          for name in fac.__dataclass_fields__
+          if isinstance(getattr(fac, name), jnp.ndarray)
+          or hasattr(getattr(fac, name), "shape")}
+    return fac.replace(**kw)
 
 
 def pad_factors_for_mesh(graph: PoseGraph, n: int) -> PoseGraph:
-    """Pad factor arrays to a multiple of the mesh size with masked-out
-    entries (identity measurements so residuals stay finite)."""
-    rel, pts = graph.rel, graph.points
-    if rel is not None:
-        F = rel.i.shape[0]
-        pad = (-F) % n
-        if pad:
-            eye = jnp.broadcast_to(jnp.eye(4, dtype=rel.T_meas.dtype), (pad, 4, 4))
-            rel = RelPoseFactors(
-                i=jnp.concatenate([rel.i, jnp.zeros(pad, jnp.int32)]),
-                j=jnp.concatenate([rel.j, jnp.zeros(pad, jnp.int32)]),
-                T_meas=jnp.concatenate([rel.T_meas, eye]),
-                weight=jnp.concatenate([rel.weight, jnp.zeros(pad, rel.weight.dtype)]),
-                mask=jnp.concatenate([rel.mask, jnp.zeros(pad, rel.mask.dtype)]),
-            )
-    if pts is not None:
-        Pn = pts.k.shape[0]
-        pad = (-Pn) % n
-        if pad:
-            pts = PointFactors(
-                k=jnp.concatenate([pts.k, jnp.zeros(pad, jnp.int32)]),
-                p_body=_pad_to_multiple(pts.p_body, n),
-                q_world=_pad_to_multiple(pts.q_world, n),
-                weight=jnp.concatenate([pts.weight, jnp.zeros(pad, pts.weight.dtype)]),
-                mask=jnp.concatenate([pts.mask, jnp.zeros(pad, pts.mask.dtype)]),
-            )
-    return graph.replace(rel=rel, points=pts)
+    """Pad every populated factor container to a multiple of the mesh size
+    (masked rows with finite filler payloads)."""
+    kw = {}
+    for name in _FACTOR_FIELDS:
+        fac = getattr(graph, name)
+        if fac is not None:
+            kw[name] = _pad_container(fac, n)
+    return graph.replace(**kw)
 
 
-def _build_assemble(mesh: Mesh, cfg: PoseGraphConfig, axis: str,
-                    has_rel: bool, has_pts: bool):
-    """shard_map'd + jitted normal-equation assembly; built once per
-    (mesh, cfg, factor-kinds) and cached so iterative solvers don't retrace."""
-    factor_spec_rel = jax.tree.map(
-        lambda _: P(axis), RelPoseFactors.build([0], [0], jnp.eye(4)[None])
-    ) if has_rel else None
-    factor_spec_pts = jax.tree.map(
-        lambda _: P(axis),
-        PointFactors.build([0], jnp.zeros((1, 3)), jnp.zeros((1, 3))),
-    ) if has_pts else None
+def _factor_dict(graph: PoseGraph) -> dict:
+    return {name: getattr(graph, name) for name in _FACTOR_FIELDS
+            if getattr(graph, name) is not None}
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), factor_spec_rel, factor_spec_pts),
-        out_specs=(P(), P(), P()),
-    )
-    def assemble(poses, rel_shard, pts_shard):
-        local = PoseGraph(poses=poses, rel=rel_shard, points=pts_shard)
-        H, g, cost = pose_graph_normal_equations(local, cfg)
-        return (
-            jax.lax.psum(H, axis),
-            jax.lax.psum(g, axis),
-            jax.lax.psum(cost, axis),
-        )
 
-    return jax.jit(assemble)
+def _shard_specs(fdict: dict, axis: str):
+    return jax.tree.map(lambda _: P(axis), fdict)
 
 
 @functools.lru_cache(maxsize=32)
 def _cached_assemble(mesh: Mesh, cfg: PoseGraphConfig, axis: str,
-                     has_rel: bool, has_pts: bool):
-    return _build_assemble(mesh, cfg, axis, has_rel, has_pts)
+                     kinds: Tuple[str, ...]):
+    """shard_map'd + jitted one-shot normal-equation assembly; cached per
+    (mesh, cfg, factor-kinds) so iterative callers don't retrace."""
+
+    def assemble(poses, fdict):
+        local = PoseGraph(poses=poses, **fdict)
+        H, g, cost = pose_graph_normal_equations(local, cfg)
+        return (jax.lax.psum(H, axis), jax.lax.psum(g, axis),
+                jax.lax.psum(cost, axis))
+
+    def build(poses, fdict):
+        shard = jax.shard_map(
+            assemble, mesh=mesh,
+            in_specs=(P(), _shard_specs(fdict, axis)),
+            out_specs=(P(), P(), P()))
+        return shard(poses, fdict)
+
+    return jax.jit(build)
 
 
 def distributed_normal_equations(
@@ -115,10 +129,46 @@ def distributed_normal_equations(
     """(H, g, cost) with factor shards assembled per-device and psum-reduced."""
     n = mesh.shape[axis]
     graph = pad_factors_for_mesh(graph, n)
-    assemble = _cached_assemble(
-        mesh, cfg, axis, graph.rel is not None, graph.points is not None
-    )
-    return assemble(graph.poses, graph.rel, graph.points)
+    fdict = _factor_dict(graph)
+    assemble = _cached_assemble(mesh, cfg, axis, tuple(sorted(fdict)))
+    return assemble(graph.poses, fdict)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_optimize(mesh: Mesh, cfg: PoseGraphConfig, axis: str,
+                     kinds: Tuple[str, ...]):
+    """The ENTIRE GN loop as one shard_map'd dispatch: per-iteration
+    assembly is local + psum, the replicated solve and the convergence
+    test run identically on every device — no host round-trips."""
+
+    def optimize(poses, fdict):
+        def cond(state):
+            _, it, delta = state
+            return (it < cfg.max_iterations) & (delta > cfg.convergence_eps)
+
+        def body(state):
+            poses, it, _ = state
+            local = PoseGraph(poses=poses, **fdict)
+            H, g, _ = pose_graph_normal_equations(local, cfg)
+            H = jax.lax.psum(H, axis)
+            g = jax.lax.psum(g, axis)
+            new_poses, delta = solve_pose_graph_step(local, H, g, cfg)
+            return (new_poses, it + 1, delta)
+
+        init = (poses, jnp.int32(0), jnp.asarray(jnp.inf, poses.dtype))
+        poses, _, _ = jax.lax.while_loop(cond, body, init)
+        local = PoseGraph(poses=poses, **fdict)
+        _, _, cost = pose_graph_normal_equations(local, cfg)
+        return poses, jax.lax.psum(cost, axis)
+
+    def build(poses, fdict):
+        shard = jax.shard_map(
+            optimize, mesh=mesh,
+            in_specs=(P(), _shard_specs(fdict, axis)),
+            out_specs=(P(), P()))
+        return shard(poses, fdict)
+
+    return jax.jit(build)
 
 
 def distributed_optimize_pose_graph(
@@ -127,30 +177,9 @@ def distributed_optimize_pose_graph(
     cfg: PoseGraphConfig = PoseGraphConfig(),
     axis: str = "dp",
 ) -> Tuple[PoseGraph, jnp.ndarray]:
-    """GN loop: sharded assembly + replicated solve each iteration."""
+    """GN loop: sharded assembly + replicated solve, single dispatch."""
     graph = pad_factors_for_mesh(graph, mesh.shape[axis])
-
-    def cond(state):
-        _, it, delta = state
-        return (it < cfg.max_iterations) & (delta > cfg.convergence_eps)
-
-    def body(state):
-        poses, it, _ = state
-        gr = graph.replace(poses=poses)
-        H, g, _ = distributed_normal_equations(gr, mesh, cfg, axis)
-        new_poses, delta = solve_pose_graph_step(gr, H, g, cfg)
-        return (new_poses, it + 1, delta)
-
-    # python-level loop: shard_map inside lax.while_loop is restricted; the
-    # iteration count is small (<= cfg.max_iterations) and each body is jitted
-    state = (graph.poses, jnp.int32(0), jnp.asarray(jnp.inf, graph.poses.dtype))
-    import numpy as np
-
-    for _ in range(cfg.max_iterations):
-        if float(state[2]) <= cfg.convergence_eps:
-            break
-        state = body(state)
-    poses = state[0]
-    out = graph.replace(poses=poses)
-    _, _, cost = distributed_normal_equations(out, mesh, cfg, axis)
-    return out, cost
+    fdict = _factor_dict(graph)
+    optimize = _cached_optimize(mesh, cfg, axis, tuple(sorted(fdict)))
+    poses, cost = optimize(graph.poses, fdict)
+    return graph.replace(poses=poses), cost

@@ -21,51 +21,18 @@ from flax import struct
 
 from icp4dradar_tpu.config import GicpConfig
 from icp4dradar_tpu.geom import se3_apply, se3_exp, se3_identity, se3_log
-from icp4dradar_tpu.geom.linalg import solve_psd, sym3x3_eigvals
+from icp4dradar_tpu.geom.linalg import (
+    solve_psd,
+    sym3x3_eigvals,
+    sym3x3_smallest_eigvec,
+)
 from icp4dradar_tpu.geom.so3 import so3_hat
 from icp4dradar_tpu.ops import knn, nearest_neighbor
 
 
-def _smallest_eigvec3(A: jnp.ndarray) -> jnp.ndarray:
-    """Unit eigenvector of the smallest eigenvalue of symmetric (..., 3, 3).
-
-    Closed form (no LAPACK control flow, which costs ~0.2 ms per dispatch on
-    TPU): with lam_min from the trigonometric eigenvalue formula, any nonzero
-    cross product of two rows of M = A - lam_min*I spans the eigenspace.
-    Rank-degenerate fallbacks (repeated smallest eigenvalue / isotropic A)
-    pick an arbitrary valid direction, mirroring LAPACK's arbitrary choice.
-    """
-    lam = sym3x3_eigvals(A)[..., 0]
-    M = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
-    frob2 = jnp.sum(M * M, axis=(-2, -1))
-    r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
-    cands = jnp.stack(
-        [jnp.cross(r0, r1), jnp.cross(r0, r2), jnp.cross(r1, r2)], axis=-2
-    )                                                   # (..., 3, 3)
-    n2 = jnp.sum(cands * cands, axis=-1)                # (..., 3)
-    oh = jax.nn.one_hot(jnp.argmax(n2, axis=-1), 3, dtype=A.dtype)
-    v = jnp.einsum("...k,...ki->...i", oh, cands)
-    v2 = jnp.sum(v * v, axis=-1)
-    # Degenerate: repeated smallest eigenvalue -> M is rank <= 1, every
-    # cross ~ 0. Its largest row spans the top eigenvector; anything
-    # orthogonal to that row is a valid smallest eigenvector.
-    rn2 = jnp.sum(M * M, axis=-1)
-    ohr = jax.nn.one_hot(jnp.argmax(rn2, axis=-1), 3, dtype=A.dtype)
-    r = jnp.einsum("...k,...ki->...i", ohr, M)
-    helper = jnp.where(
-        (jnp.abs(r[..., 0]) <= jnp.abs(r[..., 2]))[..., None],
-        jnp.array([1.0, 0.0, 0.0], A.dtype),
-        jnp.array([0.0, 0.0, 1.0], A.dtype),
-    )
-    w = jnp.cross(r, helper)
-    w2 = jnp.sum(w * w, axis=-1)
-    # fully isotropic (M ~ 0): any unit vector is an eigenvector
-    w = jnp.where((w2 > 1e-24 * frob2 + 1e-38)[..., None], w,
-                  jnp.array([0.0, 1.0, 0.0], A.dtype))
-    use_v = (v2 > 1e-24 * frob2 * frob2 + 1e-38)[..., None]
-    n = jnp.where(use_v, v, w)
-    return n / jnp.sqrt(jnp.maximum(jnp.sum(n * n, axis=-1, keepdims=True),
-                                    1e-38))
+# closed-form smallest-eigenvector now lives in geom.linalg
+# (promoted so graph/structure_factors.py can classify map Gaussians too)
+_smallest_eigvec3 = sym3x3_smallest_eigvec
 
 
 @struct.dataclass

@@ -66,6 +66,33 @@ class TestDistributedGN:
         np.testing.assert_allclose(np.asarray(H8), np.asarray(H1), rtol=1e-4, atol=1e-4)
 
 
+class TestDistributedStructureFactors:
+    """All four single-pose factor families shard + psum identically to the
+    single-device assembly (VERDICT r1: distributed assembly must handle the
+    new types)."""
+
+    def test_all_factor_types_match_single_device(self, mesh):
+        from tests.test_graph import make_loop_graph, make_structured_graph
+
+        gt, poses, rel = make_loop_graph(24, 10.0, 2, 0.01, seed=11)
+        _, _, singles = make_structured_graph(K=24, seed=11)
+        graph = PoseGraph(poses=jnp.asarray(poses), rel=rel, **singles)
+        H1, g1, c1 = pose_graph_normal_equations(graph)
+        H8, g8, c8 = distributed_normal_equations(graph, mesh)
+        scale = np.abs(np.asarray(H1)).max()
+        np.testing.assert_allclose(np.asarray(H8), np.asarray(H1),
+                                   atol=1e-5 * scale)
+        np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
+                                   atol=1e-5 * scale)
+        np.testing.assert_allclose(float(c8), float(c1), rtol=1e-5)
+
+        cfg = PoseGraphConfig(max_iterations=10)
+        out1, cost1 = optimize_pose_graph(graph, cfg)
+        out8, cost8 = distributed_optimize_pose_graph(graph, mesh, cfg)
+        np.testing.assert_allclose(np.asarray(out8.poses),
+                                   np.asarray(out1.poses), atol=1e-3)
+
+
 class TestDataParallel:
     def test_batched_preprocess_sharded(self, mesh):
         seq = SyntheticSequence(num_frames=8, max_points=512, num_landmarks=3000)
