@@ -24,3 +24,6 @@ from icp4dradar_tpu.parallel.ring_vgicp import (  # noqa: F401
     ring_vgicp_align,
     ring_vgicp_normal_equations,
 )
+from icp4dradar_tpu.parallel.distributed_pipeline import (  # noqa: F401
+    run_scan_to_map_distributed,
+)

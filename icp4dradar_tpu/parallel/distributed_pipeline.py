@@ -1,0 +1,272 @@
+"""End-to-end multi-device scan-to-map odometry: the full `main_task`
+tracked-frame loop (src/radar_odometry.cpp:311-434) running ON THE MESH.
+
+Round-1 built the distributed components (spatially-sharded voxel map,
+ring-sweep VGICP, factor-sharded GN); this module chains them into a
+pipeline that tracks a whole sequence without the map ever living on one
+device. ONE shard_map region wraps the whole sequence; inside it a
+lax.scan drives the per-frame step:
+
+  1. REVE ego-velocity + inlier extraction — replicated compute (a scan is
+     ~80 KB; redundant per-device math is cheaper than any reshard).
+  2. Doppler-prior pose prediction (models/scan_to_map.py semantics).
+  3. Sector submap query: each device compacts ITS slot range's sector
+     voxels + Gaussians locally (shard_local_sector_stats) — the submap is
+     born sharded, no all-gather.
+  4. Ring-sweep VGICP Gauss-Newton: submap shards rotate over the mesh via
+     ppermute inside each sweep, running-best merge, frozen-payload normal
+     equations; the 6x6 solve is replicated (ring_vgicp.py pattern,
+     cloud-centered frame included).
+  5. Tracking-health gate (models/scan_to_map.py::_apply_tracking_gate).
+  6. Sharded insert of the corrected world points (shard_local_insert:
+     per-round psum arbitration over slot owners).
+  7. Optional forget-far maintenance — elementwise over local slots.
+
+Cross-device traffic per frame: the insert's per-round liveness psums, the
+ring's ppermutes, and the GN scalars' pmeans — all O(N + submap/n), never
+O(map). Per-device memory is O(C/n) map + O(N) scan, so map capacity
+scales with the mesh.
+
+Equality with the single-device run_scan_to_map (same config, VGICP path)
+is exact up to f32 reduction order — tested in
+tests/test_distributed_pipeline.py on the 8-device CPU mesh.
+
+Rehash is NOT run here (it is a global repacking; tombstone pressure is
+bounded by forget_radius ≫ sector_radius in long runs, and a host-level
+gather → rehash → scatter remains available between sequences).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from icp4dradar_tpu.config import PipelineConfig
+from icp4dradar_tpu.geom import se3_apply, se3_exp, se3_identity, se3_inverse
+from icp4dradar_tpu.geom.linalg import solve_spd6
+from icp4dradar_tpu.geom.so3 import matrix_to_rpy
+from icp4dradar_tpu.io.scan import RadarScan
+from icp4dradar_tpu.mapping.voxel_hash import VoxelHashMap, voxel_map_forget_far
+from icp4dradar_tpu.ops.vgicp_fused import (
+    best_payload_to_rows,
+    merge_best_rows,
+    radar_point_covariances_packed,
+    vgicp_accumulators_from_best_xla,
+    vgicp_iteration,
+    vgicp_sweep_best_xla,
+)
+from icp4dradar_tpu.parallel.sharded_map import (
+    shard_local_insert,
+    shard_local_sector_stats,
+    sharded_map_create,
+)
+from icp4dradar_tpu.preprocess.reve import estimate_ego_velocity
+
+
+def _ring_gn_align(
+    T0: jnp.ndarray,
+    sx: jnp.ndarray,
+    sm: jnp.ndarray,
+    sc: jnp.ndarray,
+    tm: jnp.ndarray,
+    tc: jnp.ndarray,
+    tmask: jnp.ndarray,
+    axis: str,
+    perm,
+    on_tpu: bool,
+    max_correspondence_dist: float,
+    cov_eps: float,
+    lm_lambda: float,
+    max_iterations: int,
+    transformation_epsilon: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Distributed GN against ring-rotating submap shards; must run inside
+    a shard_map over `axis`. tm/tc/tmask are THIS device's shard. Returns
+    replicated (T, fitness, iterations). Same structure as
+    ring_vgicp._cached_ring_align's body, inlined here so it composes into
+    the per-frame step (the standalone version owns its own shard_map)."""
+    n_ring = len(perm)
+    N = sx.shape[0]
+
+    def sweep(T):
+        best0 = jnp.concatenate(
+            [jnp.full((N, 1), 1e30, sx.dtype), jnp.zeros((N, 9), sx.dtype)],
+            axis=-1)
+
+        def step(carry, _):
+            best, tm_, tc_, tmask_ = carry
+            if on_tpu:
+                _, _, _, _, _, b = vgicp_iteration(
+                    T, sx, sm, sc, tm_, tc_, tmask_,
+                    max_correspondence_dist=max_correspondence_dist,
+                    cov_eps=cov_eps, return_best=True)
+                rows = best_payload_to_rows(b, N)
+            else:
+                rows = vgicp_sweep_best_xla(T, sx, tm_, tc_, tmask_)
+            best = merge_best_rows(best, rows)
+            tm_ = jax.lax.ppermute(tm_, axis, perm)
+            tc_ = jax.lax.ppermute(tc_, axis, perm)
+            tmask_ = jax.lax.ppermute(tmask_, axis, perm)
+            return (best, tm_, tc_, tmask_), None
+
+        (best, _, _, _), _ = jax.lax.scan(
+            step, (best0, tm, tc, tmask), None, length=n_ring)
+        return vgicp_accumulators_from_best_xla(
+            T, sx, sm, sc, best,
+            max_correspondence_dist=max_correspondence_dist,
+            cov_eps=cov_eps)
+
+    def cond(state):
+        _, it, delta, _, _ = state
+        return (it < max_iterations) & (delta > transformation_epsilon)
+
+    def body(state):
+        T, it, _, _, _ = state
+        # every device computes the same merged result; pmean collapses f32
+        # reduction-order noise so the while predicate stays bit-identical
+        H, g, cost, wsum, d2sum = jax.tree.map(
+            lambda x: jax.lax.pmean(x, axis), sweep(T))
+        H = H + lm_lambda * jnp.eye(6, dtype=T.dtype)
+        xi = solve_spd6(H, -g)
+        xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
+        return (se3_exp(xi) @ T, it + 1, jnp.sum(jnp.abs(xi)), wsum, d2sum)
+
+    zero = jnp.zeros((), sx.dtype)
+    T, iters, _, wsum, d2sum = jax.lax.while_loop(
+        cond, body,
+        (T0, jnp.int32(0), jnp.asarray(jnp.inf, sx.dtype), zero, zero))
+    fitness = d2sum / jnp.maximum(wsum, 1.0)
+    return T, fitness, iters
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
+                            use_doppler_prior: bool, forget: bool):
+    """Build the whole-sequence shard_map ONCE per (mesh, axis, cfg) — the
+    jit cache must survive across calls (CLAUDE.md: TPU recompiles go
+    through the tunnel)."""
+    from icp4dradar_tpu.models.scan_to_map import _apply_tracking_gate
+
+    n = mesh.shape[axis]
+    C = cfg.voxel_map.capacity
+    Cl = C // n
+    per = cfg.voxel_map.submap_max_points // n
+    vmcfg = cfg.voxel_map
+    gicp = cfg.gicp
+    on_tpu = jax.default_backend() == "tpu"
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    from icp4dradar_tpu.mapping.voxel_hash import voxel_map_create
+
+    vm_shape = jax.eval_shape(
+        lambda: voxel_map_create(C, vmcfg.voxel_size, vmcfg.max_probes))
+    map_specs = jax.tree.map(
+        lambda x: P(axis) if len(x.shape) == 1 else P(axis, None), vm_shape)
+
+    def local(local_vm, scans, keys):
+        def frame_step(carry, inp):
+            vm, pose = carry
+            scan, k = inp
+            est = estimate_ego_velocity(scan, k, cfg.reve)
+
+            has_map = jax.lax.psum(jnp.sum(vm.occupied), axis) > 0.5
+            if use_doppler_prior:
+                delta_t = pose[:3, :3] @ est.velocity
+                pose = pose.at[:3, 3].add(jnp.where(
+                    est.valid & has_map, delta_t, jnp.zeros_like(delta_t)))
+
+            heading = matrix_to_rpy(pose[:3, :3])[2]
+            _, tmask, cnt_l, tm, tc = shard_local_sector_stats(
+                vm, pose[:3, 3], vmcfg.sector_radius, heading,
+                vmcfg.sector_half_angle_deg, per)
+            sub_n = jax.lax.psum(cnt_l, axis)
+
+            src_cov6 = radar_point_covariances_packed(
+                scan.xyz, gicp.sigma_range, gicp.sigma_azimuth,
+                gicp.sigma_elevation)
+
+            # cloud-centered optimization frame (vgicp.py rationale:
+            # km-scale world coordinates cancel catastrophically in f32)
+            center = pose[:3, 3]
+            T0 = pose.at[:3, 3].set(jnp.zeros_like(center))
+            T, fitness, _iters = _ring_gn_align(
+                T0, scan.xyz, est.inlier_mask, src_cov6,
+                tm - center[None, :], tc, tmask, axis, perm, on_tpu,
+                gicp.max_correspondence_dist, gicp.cov_epsilon,
+                gicp.lm_lambda, gicp.max_iterations,
+                gicp.vgicp_transformation_epsilon)
+            new_T = T.at[:3, 3].add(center)
+
+            insert_mask = est.inlier_mask
+            new_T, insert_mask, _ = _apply_tracking_gate(
+                cfg, pose, new_T, fitness, insert_mask)
+
+            corrected = se3_apply(new_T, scan.xyz)
+            vm = shard_local_insert(
+                vm, corrected, insert_mask, scan.intensity, axis, C, Cl)
+            if forget:
+                vm = voxel_map_forget_far(vm, new_T[:3, 3],
+                                          vmcfg.forget_radius)
+
+            out = (new_T, new_T @ se3_inverse(pose), est.velocity,
+                   est.valid, fitness, jnp.sum(est.inlier_mask), sub_n,
+                   _iters)
+            return (vm, new_T), out
+
+        pose0 = se3_identity(scans.xyz.dtype)
+        (vm, _), outs = jax.lax.scan(
+            frame_step, (local_vm, pose0), (scans, keys))
+        return vm, outs
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(map_specs, P(), P()),
+        out_specs=(map_specs, (P(),) * 8),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def run_scan_to_map_distributed(
+    scans: RadarScan,
+    mesh: Mesh,
+    cfg: PipelineConfig = PipelineConfig(),
+    key: Optional[jax.Array] = None,
+    axis: str = "dp",
+    use_doppler_prior: bool = True,
+):
+    """Track a stacked (F, ...) sequence on the mesh; the map lives sharded
+    the whole time. Returns (final sharded VoxelHashMap, outs dict with
+    per-frame world_T / correction / velocity / velocity_valid / fitness /
+    num_inliers / submap_points / iterations).
+
+    Requires cfg.gicp.use_vgicp (the distributed registration is the ring
+    VGICP sweep) and capacity / submap_max_points divisible by the mesh."""
+    n = mesh.shape[axis]
+    if not cfg.gicp.use_vgicp:
+        raise ValueError("distributed pipeline requires cfg.gicp.use_vgicp")
+    if cfg.voxel_map.capacity % n or cfg.voxel_map.submap_max_points % n:
+        raise ValueError(
+            f"capacity {cfg.voxel_map.capacity} and submap_max_points "
+            f"{cfg.voxel_map.submap_max_points} must divide mesh size {n}")
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    F = scans.xyz.shape[0]
+    keys = jax.random.split(key, F)
+    import math
+    forget = math.isfinite(cfg.voxel_map.forget_radius)
+
+    vm = sharded_map_create(
+        mesh, capacity=cfg.voxel_map.capacity,
+        voxel_size=cfg.voxel_map.voxel_size,
+        max_probes=cfg.voxel_map.max_probes, axis=axis)
+    fn = _cached_distributed_run(mesh, axis, cfg, bool(use_doppler_prior),
+                                 forget)
+    vm, raw = fn(vm, scans, keys)
+    names = ("world_T", "correction", "velocity", "velocity_valid",
+             "fitness", "num_inliers", "submap_points", "iterations")
+    return vm, dict(zip(names, raw))

@@ -111,6 +111,78 @@ def _local_insert_round(local, cand, slot_base, Cl, voxel_size):
     return (keys, points, inten, occ, sn, ssum, ssq), advance, die
 
 
+def shard_local_insert(
+    local_vm: VoxelHashMap,
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    intensity: jnp.ndarray,
+    axis: str,
+    C: int,
+    Cl: int,
+) -> VoxelHashMap:
+    """Full probe-round insert of a REPLICATED candidate batch into this
+    device's slot range. Must run inside a shard_map region over `axis`:
+    one psum per probe round propagates the slot owner's per-candidate
+    verdict; everything else is local. Shared by sharded_map_insert and the
+    end-to-end distributed pipeline (distributed_pipeline.py)."""
+    L = local_vm.voxel_size
+    max_probes = local_vm.max_probes
+    n = xyz.shape[0]
+    d = jax.lax.axis_index(axis)
+    slot_base = d * Cl
+    coords = _voxel_coords(xyz, L)
+    h0 = _hash(coords, C)
+    d2c = _center_dist2(xyz, coords, L)
+    sq6 = jnp.stack([
+        xyz[:, 0] * xyz[:, 0], xyz[:, 1] * xyz[:, 1],
+        xyz[:, 2] * xyz[:, 2], xyz[:, 0] * xyz[:, 1],
+        xyz[:, 0] * xyz[:, 2], xyz[:, 1] * xyz[:, 2],
+    ], axis=-1)
+    idx_n = jnp.arange(n, dtype=jnp.int32)
+
+    state = (
+        (local_vm.keys, local_vm.points, local_vm.intensity,
+         local_vm.occupied, local_vm.stat_n, local_vm.stat_sum,
+         local_vm.stat_sq),
+        mask > 0.5,
+        jnp.zeros(n, dtype=jnp.int32),
+    )
+
+    def round_fn(state, _):
+        local, alive, offset = state
+        slot = (h0 + offset) & (C - 1)
+        cand = (coords, xyz, intensity, sq6, d2c, idx_n, alive, slot)
+        local, advance_l, die_l = _local_insert_round(
+            local, cand, slot_base, Cl, L
+        )
+        # exactly one device owns each live candidate's current slot:
+        # psum propagates the owner's verdict to everyone
+        advance = jax.lax.psum(advance_l.astype(jnp.int32), axis) > 0
+        die = jax.lax.psum(die_l.astype(jnp.int32), axis) > 0
+        alive = alive & ~die
+        offset = offset + (advance & alive).astype(jnp.int32)
+        return (local, alive, offset), None
+
+    # early exit on global liveness (alive is psum-synchronized)
+    def cond_fn(carry):
+        (local, alive, offset), rnd = carry
+        return (rnd < max_probes) & jnp.any(alive)
+
+    def body_fn(carry):
+        st, rnd = carry
+        st, _ = round_fn(st, None)
+        return (st, rnd + 1)
+
+    (local, _, _), _ = jax.lax.while_loop(
+        cond_fn, body_fn, (state, jnp.int32(0))
+    )
+    return local_vm.replace(
+        keys=local[0], points=local[1], intensity=local[2],
+        occupied=local[3], stat_n=local[4], stat_sum=local[5],
+        stat_sq=local[6],
+    )
+
+
 def sharded_map_insert(
     vmap: VoxelHashMap,
     mesh: Mesh,
@@ -123,8 +195,6 @@ def sharded_map_insert(
     n_dev = mesh.shape[axis]
     C = vmap.capacity
     Cl = C // n_dev
-    L = vmap.voxel_size
-    max_probes = vmap.max_probes
     n = xyz.shape[0]
     if mask is None:
         mask = jnp.ones(n, dtype=xyz.dtype)
@@ -140,61 +210,57 @@ def sharded_map_insert(
         check_vma=False,
     )
     def run(local_vm, xyz_, mask_, inten_):
-        d = jax.lax.axis_index(axis)
-        slot_base = d * Cl
-        coords = _voxel_coords(xyz_, L)
-        h0 = _hash(coords, C)
-        d2c = _center_dist2(xyz_, coords, L)
-        sq6 = jnp.stack([
-            xyz_[:, 0] * xyz_[:, 0], xyz_[:, 1] * xyz_[:, 1],
-            xyz_[:, 2] * xyz_[:, 2], xyz_[:, 0] * xyz_[:, 1],
-            xyz_[:, 0] * xyz_[:, 2], xyz_[:, 1] * xyz_[:, 2],
-        ], axis=-1)
-        idx_n = jnp.arange(n, dtype=jnp.int32)
-
-        state = (
-            (local_vm.keys, local_vm.points, local_vm.intensity,
-             local_vm.occupied, local_vm.stat_n, local_vm.stat_sum,
-             local_vm.stat_sq),
-            mask_ > 0.5,
-            jnp.zeros(n, dtype=jnp.int32),
-        )
-
-        def round_fn(state, _):
-            local, alive, offset = state
-            slot = (h0 + offset) & (C - 1)
-            cand = (coords, xyz_, inten_, sq6, d2c, idx_n, alive, slot)
-            local, advance_l, die_l = _local_insert_round(
-                local, cand, slot_base, Cl, L
-            )
-            # exactly one device owns each live candidate's current slot:
-            # psum propagates the owner's verdict to everyone
-            advance = jax.lax.psum(advance_l.astype(jnp.int32), axis) > 0
-            die = jax.lax.psum(die_l.astype(jnp.int32), axis) > 0
-            alive = alive & ~die
-            offset = offset + (advance & alive).astype(jnp.int32)
-            return (local, alive, offset), None
-
-        # early exit on global liveness (alive is psum-synchronized)
-        def cond_fn(carry):
-            (local, alive, offset), rnd = carry
-            return (rnd < max_probes) & jnp.any(alive)
-
-        def body_fn(carry):
-            st, rnd = carry
-            st, _ = round_fn(st, None)
-            return (st, rnd + 1)
-
-        (local, _, _), _ = jax.lax.while_loop(
-            cond_fn, body_fn, (state, jnp.int32(0))
-        )
-        return local_vm.replace(
-            keys=local[0], points=local[1], intensity=local[2],
-            occupied=local[3], stat_n=local[4], stat_sum=local[5],
-            stat_sq=local[6],
-        )
+        return shard_local_insert(local_vm, xyz_, mask_, inten_, axis, C, Cl)
 
     return run(vmap, xyz, mask, intensity)
+
+
+def shard_local_sector_stats(
+    local_vm: VoxelHashMap,
+    center: jnp.ndarray,
+    radius: float,
+    heading_deg: jnp.ndarray,
+    half_angle_deg: float,
+    per: int,
+    min_count: float = 3.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """This shard's slice of the sector query with per-voxel Gaussians,
+    compacted to `per` rows. Pure local math (no collectives) — the union
+    of all shards' rows equals the single-device
+    voxel_map_sector_search_with_stats output set, row for row (the raw
+    [n, sum3, sq6] accumulators are compacted first, identical stats math).
+    Returns (points (per,3), mask (per,), local_count (), means (per,3),
+    covs_packed (per,6))."""
+    from icp4dradar_tpu.ops.compaction import mask_compact
+
+    delta = local_vm.points - center
+    d2 = jnp.sum(delta * delta, axis=-1)
+    bearing = jnp.arctan2(delta[..., 1], delta[..., 0]) * 180.0 / jnp.pi
+    diff = jnp.abs((bearing - heading_deg + 180.0) % 360.0 - 180.0)
+    sel = (local_vm.occupied > 0.5) & (d2 < radius * radius) \
+        & (diff < half_angle_deg)
+    payload = jnp.concatenate(
+        [local_vm.points, local_vm.stat_n[:, None], local_vm.stat_sum,
+         local_vm.stat_sq],
+        axis=-1,
+    )  # (Cl, 13)
+    out, mask, count = mask_compact(
+        payload, sel.astype(local_vm.points.dtype), per)
+    n = jnp.maximum(out[:, 3:4], 1.0)
+    mu = out[:, 4:7] / n
+    ex2 = out[:, 7:13] / n
+    cov = jnp.stack([
+        ex2[:, 0] - mu[:, 0] * mu[:, 0],
+        ex2[:, 1] - mu[:, 1] * mu[:, 1],
+        ex2[:, 2] - mu[:, 2] * mu[:, 2],
+        ex2[:, 3] - mu[:, 0] * mu[:, 1],
+        ex2[:, 4] - mu[:, 0] * mu[:, 2],
+        ex2[:, 5] - mu[:, 1] * mu[:, 2],
+    ], axis=-1)
+    iso = jnp.asarray([0.01, 0.01, 0.01, 0.0, 0.0, 0.0], dtype=cov.dtype)
+    thin = out[:, 3:4] < min_count
+    cov = jnp.where(thin, iso[None, :], cov)
+    return out[:, :3], mask, count, mu, cov
 
 
 def sharded_sector_search_with_stats(
