@@ -132,8 +132,10 @@ class TrackingConfig:
     both corrupts the pose AND inserts misplaced points into the map,
     making recovery impossible. These gates reject corrections that are
     implausible against the motion prior; rejected frames keep the
-    predicted pose and are NOT inserted. Set all three gates to inf for
-    reference-parity blind composition.
+    predicted pose and are NOT inserted. Set all gates to inf for
+    reference-parity blind composition (s2s_max_fitness already defaults
+    to inf; scan-to-scan parity additionally needs the two correction
+    gates inf).
 
     Defaults measured on a 512-frame sparse-world run (v5e): healthy
     tracking has fitness 0.001-0.05 and sub-0.1 m corrections, while a
@@ -143,6 +145,15 @@ class TrackingConfig:
     max_fitness: float = 1.0                # accept only fitness below this
     max_correction_t: float = 5.0           # [m] translation vs prediction
     max_correction_rot_deg: float = 25.0    # [deg] rotation vs prediction
+    # scan-to-scan fitness gate. P2P ICP fitness is the UNGATED mean d^2
+    # over all points (PCL getFitnessScore semantics) — partially
+    # overlapping 1k-point scans sit at ~1.8 even when healthy, a
+    # completely different scale from VGICP's gated 0.001-0.05, and a
+    # displaced-scan walk-off can have NEAR-ZERO fitness (perfect
+    # alignment, wrong place). Fitness is therefore not a useful s2s
+    # health signal: default off; the correction-vs-Doppler-prior gates
+    # above carry the rejection (models/scan_to_scan.py::_gate_relative).
+    s2s_max_fitness: float = float("inf")
 
 
 @dataclass(frozen=True)

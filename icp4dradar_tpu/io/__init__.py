@@ -12,7 +12,12 @@ from icp4dradar_tpu.io.formats import (  # noqa: F401
     adapt_point_records,
     detect_format,
 )
-from icp4dradar_tpu.io.dataset import BinSequenceDataset, SyntheticSequence  # noqa: F401
+from icp4dradar_tpu.io.dataset import (  # noqa: F401
+    BinSequenceDataset,
+    SyntheticSequence,
+    VENDOR_PROFILES,
+    VendorProfile,
+)
 from icp4dradar_tpu.io.rosbag import (  # noqa: F401
     RosbagReader,
     RosbagWriter,

@@ -64,6 +64,78 @@ class BinSequenceDataset:
             yield self[k]
 
 
+@dataclass(frozen=True)
+class VendorProfile:
+    """Vendor-realistic degradation model for SyntheticSequence — the
+    dataset-shaped stressor the io/formats.py schemas imply (ref sensors:
+    src/radar_odometry.cpp:461-572; ColoRadar/Oculii/TI recordings named in
+    launch/radar_odometry.launch:6 and src/iterative_closest_point.cpp:142).
+
+    Parameters are typical public spec-sheet figures per sensor family, not
+    measurements of any particular unit: FoV limits, max range, a
+    range-growing dropout probability d(r) = d0 + d1 (r/rmax)^2, a
+    multipath ghost fraction (points duplicated beyond their true range
+    with off-model Doppler), and range/angular noise (angular noise makes
+    position error grow with range — the dominant radar error mode)."""
+
+    azimuth_fov_deg: float      # half-angle
+    elevation_fov_deg: float    # half-angle
+    max_range: float
+    dropout0: float             # dropout probability at r = 0
+    dropout1: float             # extra dropout at r = rmax
+    ghost_fraction: float       # multipath duplicates
+    sigma_range: float          # radial noise [m]
+    sigma_angle_deg: float      # bearing noise [deg]
+
+
+VENDOR_PROFILES = {
+    # smartmicro-class automotive radar (rio schema)
+    "rio": VendorProfile(60.0, 10.0, 100.0, 0.05, 0.30, 0.02, 0.15, 0.5),
+    # single-chip TI mmWave eval board: short range, sparse, noisy angles
+    "ti_mmwave": VendorProfile(60.0, 15.0, 30.0, 0.15, 0.45, 0.05, 0.10, 1.0),
+    # Oculii Eagle: long range, dense, aggressive multipath
+    "oculii": VendorProfile(55.0, 22.0, 150.0, 0.05, 0.25, 0.08, 0.20, 0.25),
+    # ColoRadar cascaded AWR2243 single-chip pointclouds
+    "coloradar": VendorProfile(70.0, 20.0, 50.0, 0.10, 0.35, 0.04, 0.12, 0.7),
+}
+
+
+def _apply_vendor_profile(pts, doppler, intensity, prof: VendorProfile, rng):
+    """Degrade an ideal sensor-frame scan per the vendor model. Returns new
+    (pts, doppler, intensity) host arrays (length changes)."""
+    r = np.maximum(np.linalg.norm(pts, axis=-1), 1e-6)
+    az = np.degrees(np.arctan2(pts[:, 1], pts[:, 0]))
+    el = np.degrees(np.arcsin(np.clip(pts[:, 2] / r, -1.0, 1.0)))
+    keep = (np.abs(az) < prof.azimuth_fov_deg) \
+        & (np.abs(el) < prof.elevation_fov_deg) & (r < prof.max_range)
+    # range-dependent dropout
+    p_drop = prof.dropout0 + prof.dropout1 * (r / prof.max_range) ** 2
+    keep &= rng.uniform(size=r.shape) > p_drop
+    pts, doppler, intensity, r = pts[keep], doppler[keep], intensity[keep], r[keep]
+
+    # vendor noise: radial + angular (tangential error grows with range)
+    d = pts / r[:, None]
+    pts = pts + d * rng.normal(0.0, prof.sigma_range, r.shape)[:, None]
+    ang = np.radians(prof.sigma_angle_deg)
+    tangential = rng.normal(0.0, ang, (r.shape[0], 3)) * r[:, None]
+    pts = pts + tangential - d * np.sum(tangential * d, axis=-1)[:, None]
+
+    # multipath ghosts: same bearing, 1.4-1.9x range, off-model Doppler
+    n_ghost = int(r.shape[0] * prof.ghost_fraction)
+    if n_ghost > 0:
+        gi = rng.choice(r.shape[0], n_ghost, replace=False)
+        scale = rng.uniform(1.4, 1.9, n_ghost)
+        gpts = pts[gi] * scale[:, None]
+        gdop = doppler[gi] * scale + rng.normal(0.0, 0.3, n_ghost)
+        gint = intensity[gi] * rng.uniform(0.3, 0.7, n_ghost)
+        # the sensor still caps detections at its instrumented max range
+        gkeep = np.linalg.norm(gpts, axis=-1) < prof.max_range
+        pts = np.concatenate([pts, gpts[gkeep]])
+        doppler = np.concatenate([doppler, gdop[gkeep]])
+        intensity = np.concatenate([intensity, gint[gkeep]])
+    return pts, doppler, intensity
+
+
 @dataclass
 class SyntheticSequence:
     """Simulated 4D-radar sequence over a smooth trajectory with exact GT.
@@ -88,6 +160,11 @@ class SyntheticSequence:
     dynamic_fraction: float = 0.1
     dynamic_doppler: float = 3.0
     seed: int = 0
+    # name from VENDOR_PROFILES ("rio" / "ti_mmwave" / "oculii" /
+    # "coloradar") — degrades scans with that sensor family's FoV, range
+    # limit, range-dependent dropout, multipath ghosts, and angular noise.
+    # None = the ideal sensor (unchanged historic behavior).
+    vendor_profile: Optional[str] = None
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -168,6 +245,13 @@ class SyntheticSequence:
             self._rng.normal(self.dynamic_doppler, 1.0, n_dyn)
         )
         intensity = self._rng.uniform(5.0, 30.0, sel.size)
+        if self.vendor_profile is not None:
+            # separate RNG stream: the base draws above stay identical, so
+            # profile=None sequences are bit-for-bit the historic ones
+            vrng = np.random.default_rng(self.seed * 31337 + k + 7)
+            pts, doppler, intensity = _apply_vendor_profile(
+                pts, doppler, intensity,
+                VENDOR_PROFILES[self.vendor_profile], vrng)
         scan = RadarScan.from_arrays(
             pts.astype(np.float32),
             doppler.astype(np.float32),
@@ -180,7 +264,12 @@ class SyntheticSequence:
     def dynamic_truth(self, k: int) -> np.ndarray:
         """(max_points,) bool — which padded slots are dynamic points.
 
-        Regenerates the same RNG stream as scan(k)."""
+        Regenerates the same RNG stream as scan(k). Not available under a
+        vendor_profile (dropout/ghosts reorder points)."""
+        if self.vendor_profile is not None:
+            raise ValueError(
+                "dynamic_truth is undefined with a vendor_profile: dropout "
+                "and multipath ghosts change point indexing")
         # Recompute selection exactly as scan() does.
         T = self.poses[k]
         Rinv = T[:3, :3].T

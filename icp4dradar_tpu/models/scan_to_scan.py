@@ -14,6 +14,16 @@ Extensions beyond parity (all config-gated, off = reference behavior):
 - `use_doppler_prior`: seed ICP with the Doppler ego-velocity translation.
 - `use_static_points_only`: register on static points (ref USE_STATIC_POINTS
   flag, :29).
+- tracking-health gate (cfg.tracking, same gates as scan-to-map): each
+  frame's ICP delta is validated against its own Doppler prediction —
+  implausible deltas (fitness, translation, rotation) are REPLACED by the
+  prediction before the pose chain composes. The reference composes every
+  ICP result blindly (src/iterative_closest_point.cpp:552), so one
+  degenerate frame corrupts the whole downstream trajectory; here the gate
+  is frame-parallel (it compares ΔT to the per-frame prior, never the
+  chain), so it costs one vmapped mask — the associative_scan pose chain
+  is untouched. Set all three TrackingConfig gates to inf for
+  reference-parity blind composition.
 """
 
 from __future__ import annotations
@@ -53,10 +63,35 @@ class ScanToScanOutput:
     sine_b: jnp.ndarray          # () Doppler model phase
     num_static: jnp.ndarray      # () static point count
     converged: jnp.ndarray       # () bool
+    accepted: jnp.ndarray        # () bool — tracking gate verdict (True
+                                 # when gates are inf / frame is healthy)
 
 
 def scan_to_scan_init(dtype=jnp.float32) -> ScanToScanState:
     return ScanToScanState(world_T=se3_identity(dtype), frame=jnp.int32(0))
+
+
+def _gate_relative(cfg: PipelineConfig, T_icp, init_T, fitness):
+    """Frame-parallel tracking gate: validate one ICP delta against its own
+    prior (the Doppler prediction, or identity without one). Returns the
+    delta to compose (prior if rejected) and the accept flag. Identity
+    pass-through when all gates are inf (reference-parity)."""
+    import math
+
+    t = cfg.tracking
+    if not (math.isfinite(t.s2s_max_fitness)
+            or math.isfinite(t.max_correction_t)
+            or math.isfinite(t.max_correction_rot_deg)):
+        return T_icp, jnp.asarray(True)
+    corr_t = jnp.linalg.norm(T_icp[:3, 3] - init_T[:3, 3])
+    dR = init_T[:3, :3].T @ T_icp[:3, :3]
+    cos_a = jnp.clip((jnp.trace(dR) - 1.0) * 0.5, -1.0, 1.0)
+    corr_r = jnp.degrees(jnp.arccos(cos_a))
+    # NOT max_fitness: s2s P2P fitness is ungated mean d^2 (scale ~1-2 on
+    # healthy partial-overlap scans; see TrackingConfig.s2s_max_fitness)
+    accept = ((fitness < t.s2s_max_fitness) & (corr_t < t.max_correction_t)
+              & (corr_r < t.max_correction_rot_deg))
+    return jnp.where(accept, T_icp, init_T), accept
 
 
 def scan_to_scan_step(
@@ -89,10 +124,11 @@ def scan_to_scan_step(
         scan_curr.xyz, scan_prev.xyz, src_mask, tgt_mask,
         init_transform=init_T, cfg=cfg.icp,
     )
-    world_T = state.world_T @ res.transform     # right-compose (ref :552)
+    T_rel, accepted = _gate_relative(cfg, res.transform, init_T, res.fitness)
+    world_T = state.world_T @ T_rel             # right-compose (ref :552)
     new_state = ScanToScanState(world_T=world_T, frame=state.frame + 1)
     out = ScanToScanOutput(
-        icp_transform=res.transform,
+        icp_transform=T_rel,
         world_T=world_T,
         velocity=velocity,
         fitness=res.fitness,
@@ -100,6 +136,7 @@ def scan_to_scan_step(
         sine_b=fit_c.b,
         num_static=jnp.sum(static_c),
         converged=res.converged,
+        accepted=accepted,
     )
     return new_state, out
 
@@ -155,9 +192,13 @@ def run_scan_to_scan(
             scan_c.xyz, scan_p.xyz, src_mask, tgt_mask,
             init_transform=init_T, cfg=cfg.icp,
         )
-        return res.transform, res.fitness, res.converged
+        # frame-parallel tracking gate: a degenerate registration falls
+        # back to the Doppler prediction instead of poisoning the chain
+        T_rel, accepted = _gate_relative(cfg, res.transform, init_T,
+                                         res.fitness)
+        return T_rel, res.fitness, res.converged, accepted
 
-    T_rel, fitness, converged = jax.vmap(register)(
+    T_rel, fitness, converged, accepted = jax.vmap(register)(
         scans, prev, statics, statics_prev, velocities
     )
     # frame 0 pairs with itself: exactly identity (ref order==0 behavior) —
@@ -178,4 +219,5 @@ def run_scan_to_scan(
         sine_b=fits.b,
         num_static=jnp.sum(statics, axis=-1),
         converged=converged,
+        accepted=accepted,
     )

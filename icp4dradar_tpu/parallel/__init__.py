@@ -7,6 +7,7 @@ from icp4dradar_tpu.parallel.mesh import make_mesh, device_count  # noqa: F401
 from icp4dradar_tpu.parallel.distributed_gn import (  # noqa: F401
     distributed_normal_equations,
     distributed_optimize_pose_graph,
+    distributed_optimize_pose_graph_block,
     pad_factors_for_mesh,
 )
 from icp4dradar_tpu.parallel.batch import (  # noqa: F401

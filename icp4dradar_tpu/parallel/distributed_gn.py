@@ -183,3 +183,96 @@ def distributed_optimize_pose_graph(
     optimize = _cached_optimize(mesh, cfg, axis, tuple(sorted(fdict)))
     poses, cost = optimize(graph.poses, fdict)
     return graph.replace(poses=poses), cost
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_optimize_block(mesh: Mesh, cfg: PoseGraphConfig, axis: str,
+                           kinds: Tuple[str, ...], has_chain: bool,
+                           has_loops: bool):
+    """Block-sparse distributed GN: each device assembles the O(K) block
+    normal equations of ITS factor shard (chain between-factors + all
+    single-pose families), the (K,6,6)/(K-1,6,6)/(K,6) blocks psum over
+    the mesh — collective payload O(K), never the dense (6K)^2 — and the
+    O(K) block-tridiagonal-preconditioned PCG solve runs replicated.
+    Loop-closure factors are REPLICATED, not sharded (tens of them; their
+    low-rank U columns concatenate rather than add, so every device builds
+    the identical U once and it stays OUT of the psum)."""
+    from icp4dradar_tpu.graph.block_solver import (
+        BlockNormalEq,
+        block_normal_equations,
+        solve_block_step,
+    )
+
+    def optimize(poses, fdict, chain, loops):
+        def normal_eq(poses):
+            local = PoseGraph(poses=poses, **fdict)
+            ne = block_normal_equations(local, chain, None, cfg)
+            diag = jax.lax.psum(ne.diag, axis)
+            off = jax.lax.psum(ne.off, axis)
+            g = jax.lax.psum(ne.g, axis)
+            cost = jax.lax.psum(ne.cost, axis)
+            U = ne.U
+            if has_loops:
+                nl = block_normal_equations(
+                    PoseGraph(poses=poses), None, loops, cfg)
+                diag = diag + nl.diag
+                off = off + nl.off
+                g = g + nl.g
+                cost = cost + nl.cost
+                U = nl.U
+            return BlockNormalEq(diag=diag, off=off, U=U, g=g, cost=cost)
+
+        def cond(state):
+            _, it, delta = state
+            return (it < cfg.max_iterations) & (delta > cfg.convergence_eps)
+
+        def body(state):
+            poses, it, _ = state
+            ne = normal_eq(poses)
+            new_poses, delta = solve_block_step(ne, poses, cfg)
+            return (new_poses, it + 1, delta)
+
+        init = (poses, jnp.int32(0), jnp.asarray(jnp.inf, poses.dtype))
+        poses, _, _ = jax.lax.while_loop(cond, body, init)
+        return poses, normal_eq(poses).cost
+
+    def build(poses, fdict, chain, loops):
+        shard = jax.shard_map(
+            optimize, mesh=mesh,
+            in_specs=(P(), _shard_specs(fdict, axis),
+                      jax.tree.map(lambda _: P(axis), chain),
+                      jax.tree.map(lambda _: P(), loops)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return shard(poses, fdict, chain, loops)
+
+    return jax.jit(build)
+
+
+def distributed_optimize_pose_graph_block(
+    graph: PoseGraph,
+    mesh: Mesh,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+    axis: str = "dp",
+) -> Tuple[PoseGraph, jnp.ndarray]:
+    """O(K) distributed GN (block-sparse assembly + PCG solve). Between-
+    factors split host-side into the sharded chain (j == i+1) and the
+    replicated loop set; single-pose factor families shard row-wise.
+    Matches distributed_optimize_pose_graph / optimize_pose_graph_block
+    results; collective payload and solve are both O(K) instead of
+    O(K^2) / O(K^3)."""
+    from icp4dradar_tpu.graph.block_solver import split_chain_loops
+
+    n = mesh.shape[axis]
+    chain, loops = split_chain_loops(graph.rel)
+    graph = graph.replace(rel=None)
+    graph = pad_factors_for_mesh(graph, n)
+    if chain is not None:
+        chain = _pad_container(chain, n)
+    fdict = _factor_dict(graph)
+    optimize = _cached_optimize_block(
+        mesh, cfg, axis, tuple(sorted(fdict)),
+        chain is not None, loops is not None)
+    poses, cost = optimize(graph.poses, fdict, chain, loops)
+    return graph.replace(poses=poses, rel=None), cost

@@ -85,28 +85,35 @@ def _ring_gn_align(
     transformation_epsilon: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Distributed GN against ring-rotating submap shards; must run inside
-    a shard_map over `axis`. tm/tc/tmask are THIS device's shard. Returns
-    replicated (T, fitness, iterations). Same structure as
+    a shard_map over `axis`. tm/tc/tmask are THIS device's shard; the scan
+    arrives replicated and each device sweeps only ITS 1/n slice (per-device
+    compute (N/n)·M — slice partials psum into the full accumulators).
+    Returns replicated (T, fitness, iterations). Same structure as
     ring_vgicp._cached_ring_align's body, inlined here so it composes into
-    the per-frame step (the standalone version owns its own shard_map)."""
+    the per-frame step (the standalone version owns its own shard_map).
+    Requires N divisible by the mesh size (RadarScan budgets are powers of
+    two; checked by run_scan_to_map_distributed)."""
     n_ring = len(perm)
-    N = sx.shape[0]
+    d = jax.lax.axis_index(axis)
+    Nl = sx.shape[0] // n_ring
+    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, d * Nl, Nl)
+    sx_l, sm_l, sc_l = sl(sx), sl(sm), sl(sc)
 
     def sweep(T):
         best0 = jnp.concatenate(
-            [jnp.full((N, 1), 1e30, sx.dtype), jnp.zeros((N, 9), sx.dtype)],
+            [jnp.full((Nl, 1), 1e30, sx.dtype), jnp.zeros((Nl, 9), sx.dtype)],
             axis=-1)
 
         def step(carry, _):
             best, tm_, tc_, tmask_ = carry
             if on_tpu:
                 _, _, _, _, _, b = vgicp_iteration(
-                    T, sx, sm, sc, tm_, tc_, tmask_,
+                    T, sx_l, sm_l, sc_l, tm_, tc_, tmask_,
                     max_correspondence_dist=max_correspondence_dist,
                     cov_eps=cov_eps, return_best=True)
-                rows = best_payload_to_rows(b, N)
+                rows = best_payload_to_rows(b, Nl)
             else:
-                rows = vgicp_sweep_best_xla(T, sx, tm_, tc_, tmask_)
+                rows = vgicp_sweep_best_xla(T, sx_l, tm_, tc_, tmask_)
             best = merge_best_rows(best, rows)
             tm_ = jax.lax.ppermute(tm_, axis, perm)
             tc_ = jax.lax.ppermute(tc_, axis, perm)
@@ -116,7 +123,7 @@ def _ring_gn_align(
         (best, _, _, _), _ = jax.lax.scan(
             step, (best0, tm, tc, tmask), None, length=n_ring)
         return vgicp_accumulators_from_best_xla(
-            T, sx, sm, sc, best,
+            T, sx_l, sm_l, sc_l, best,
             max_correspondence_dist=max_correspondence_dist,
             cov_eps=cov_eps)
 
@@ -126,10 +133,9 @@ def _ring_gn_align(
 
     def body(state):
         T, it, _, _, _ = state
-        # every device computes the same merged result; pmean collapses f32
-        # reduction-order noise so the while predicate stays bit-identical
+        # slice partials -> full accumulators, replicated on every device
         H, g, cost, wsum, d2sum = jax.tree.map(
-            lambda x: jax.lax.pmean(x, axis), sweep(T))
+            lambda x: jax.lax.psum(x, axis), sweep(T))
         H = H + lm_lambda * jnp.eye(6, dtype=T.dtype)
         xi = solve_spd6(H, -g)
         xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
@@ -253,6 +259,10 @@ def run_scan_to_map_distributed(
         raise ValueError(
             f"capacity {cfg.voxel_map.capacity} and submap_max_points "
             f"{cfg.voxel_map.submap_max_points} must divide mesh size {n}")
+    if scans.xyz.shape[1] % n:
+        raise ValueError(
+            f"scan point budget {scans.xyz.shape[1]} must divide mesh "
+            f"size {n} (the ring sweep shards the scan)")
     if key is None:
         key = jax.random.key(cfg.seed)
     F = scans.xyz.shape[0]

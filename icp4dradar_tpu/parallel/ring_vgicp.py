@@ -7,18 +7,24 @@ SURVEY.md §7 step 7 calls for halo/ring exchange of map blocks via
 Here each device holds 1/n of the voxel distributions and the scan is
 replicated (a scan is ~80 KB; the map is the memory-bound resource):
 
-  ring step k: every device sweeps the scan against the shard currently
-  visiting it (local fused kernel / XLA NN), folds the result into a
-  running-best matched payload (elementwise min by distance — associative,
-  so any visit order works), then rotates its shard to the next device
-  with `lax.ppermute`. After n steps every device has seen every shard and
-  holds the SAME best payload; the Gauss-Newton normal equations come from
-  one frozen-payload pass (ops/vgicp_fused accumulators) — no psum needed.
+  ring step k: every device sweeps ITS 1/n slice of the scan against the
+  map shard currently visiting it (local fused kernel / XLA NN), folds the
+  result into a running-best matched payload for its slice (elementwise
+  min by distance — associative, so any visit order works), then rotates
+  the map shard to the next device with `lax.ppermute`. After n steps each
+  device's slice has seen every shard; the Gauss-Newton normal equations
+  come from one frozen-payload pass over the local slice
+  (ops/vgicp_fused accumulators) psum-reduced over the mesh.
 
 This is the ring pattern of ring-attention / ring-allreduce applied to
 correspondence search: compute overlaps communication (the next shard
 streams over ICI while the current one is being swept), per-device memory
-stays O(M/n + N), and total FLOPs equal the single-device sweep.
+stays O(M/n + N), and total FLOPs equal the single-device sweep — BOTH
+sides are sharded (scan slices stay put, map shards rotate), so per-device
+compute is (N/n)·M, a true 1/n of the sweep. (Round-1 replicated the scan,
+costing every device the FULL N·M — measured n-fold redundant on the
+weak-scaling bench.) When N doesn't divide the mesh, the scan pads with
+masked rows.
 
 Reference lineage: FastGICP scan-to-submap registration
 (src/radar_odometry.cpp:399-411) — here the "submap" may exceed one chip.
@@ -42,6 +48,17 @@ from icp4dradar_tpu.ops.vgicp_fused import (
     vgicp_iteration,
     vgicp_sweep_best_xla,
 )
+
+
+def _pad_scan_to_mesh(src_xyz, src_mask, src_cov6, n):
+    """Pad scan rows to a mesh multiple with masked (weight-0) rows so each
+    device gets an equal slice."""
+    pad = (-src_xyz.shape[0]) % n
+    if pad == 0:
+        return src_xyz, src_mask, src_cov6
+    return (jnp.pad(src_xyz, ((0, pad), (0, 0))),
+            jnp.pad(src_mask, (0, pad)),
+            jnp.pad(src_cov6, ((0, pad), (0, 0))))
 
 
 def ring_vgicp_normal_equations(
@@ -68,6 +85,8 @@ def ring_vgicp_normal_equations(
     M = tgt_mean.shape[0]
     if M % n:
         raise ValueError(f"target rows {M} must divide mesh size {n}")
+    src_xyz, src_mask, src_cov6 = _pad_scan_to_mesh(
+        src_xyz, src_mask, src_cov6, n)
 
     shard = NamedSharding(mesh, P(axis))
     shard2 = NamedSharding(mesh, P(axis, None))
@@ -95,25 +114,29 @@ def _cached_ring_ne(mesh: Mesh, axis: str, max_correspondence_dist: float,
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def local(T, sx, sm, sc, tm, tc, tmask):
-        # shard-local shapes: tm (M/n, 3); scan replicated
-        N = sx.shape[0]
+        # shard-local shapes: tm (M/n, 3); the scan arrives replicated but
+        # each device sweeps only ITS N/n slice (free local slice of the
+        # replicated copy — 1/n of the compute, the whole point)
+        d = jax.lax.axis_index(axis)
+        Nl = sx.shape[0] // n
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, d * Nl, Nl)
+        sx_l, sm_l, sc_l = sl(sx), sl(sm), sl(sc)
         best0 = jnp.concatenate(
-            [jnp.full((N, 1), 1e30, sx.dtype), jnp.zeros((N, 9), sx.dtype)],
+            [jnp.full((Nl, 1), 1e30, sx.dtype), jnp.zeros((Nl, 9), sx.dtype)],
             axis=-1)
-        # the merged payload depends on the visiting shard, so the scan carry
-        # must start device-varying (vma-type match with the merge output)
+        # the merged payload is device-varying (vma-type match with merge)
         best0 = jax.lax.pcast(best0, axis, to="varying")
 
         def step(carry, _):
             best, tm, tc, tmask = carry
             if on_tpu:
                 _, _, _, _, _, b = vgicp_iteration(
-                    T, sx, sm, sc, tm, tc, tmask,
+                    T, sx_l, sm_l, sc_l, tm, tc, tmask,
                     max_correspondence_dist=max_correspondence_dist,
                     cov_eps=cov_eps, return_best=True)
-                rows = best_payload_to_rows(b, N)
+                rows = best_payload_to_rows(b, Nl)
             else:
-                rows = vgicp_sweep_best_xla(T, sx, tm, tc, tmask)
+                rows = vgicp_sweep_best_xla(T, sx_l, tm, tc, tmask)
             best = merge_best_rows(best, rows)
             tm = jax.lax.ppermute(tm, axis, perm)
             tc = jax.lax.ppermute(tc, axis, perm)
@@ -123,13 +146,11 @@ def _cached_ring_ne(mesh: Mesh, axis: str, max_correspondence_dist: float,
         (best, _, _, _), _ = jax.lax.scan(
             step, (best0, tm, tc, tmask), None, length=n)
         out = vgicp_accumulators_from_best_xla(
-            T, sx, sm, sc, best,
+            T, sx_l, sm_l, sc_l, best,
             max_correspondence_dist=max_correspondence_dist,
             cov_eps=cov_eps)
-        # every device computed the identical result (the merge is order-
-        # independent); pmean makes that replication PROVABLE to shard_map's
-        # out_specs checker at the cost of a few tiny collectives
-        return jax.tree.map(lambda x: jax.lax.pmean(x, axis), out)
+        # slice partials -> full accumulators (and provably replicated)
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis), out)
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -164,6 +185,8 @@ def ring_vgicp_align(
     M = tgt_mean.shape[0]
     if M % n:
         raise ValueError(f"target rows {M} must divide mesh size {n}")
+    src_xyz, src_mask, src_cov6 = _pad_scan_to_mesh(
+        src_xyz, src_mask, src_cov6, n)
     T0 = (se3_identity(src_xyz.dtype) if init_transform is None
           else init_transform)
     center = T0[:3, 3]
@@ -195,24 +218,27 @@ def _cached_ring_align(mesh: Mesh, axis: str, max_correspondence_dist: float,
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def local(T0, sx, sm, sc, tm0, tc0, tmask0):
-        N = sx.shape[0]
+        d = jax.lax.axis_index(axis)
+        Nl = sx.shape[0] // n
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, d * Nl, Nl)
+        sx_l, sm_l, sc_l = sl(sx), sl(sm), sl(sc)
 
         def sweep(T):
             best0 = jnp.concatenate(
-                [jnp.full((N, 1), 1e30, sx.dtype),
-                 jnp.zeros((N, 9), sx.dtype)], axis=-1)
+                [jnp.full((Nl, 1), 1e30, sx.dtype),
+                 jnp.zeros((Nl, 9), sx.dtype)], axis=-1)
             best0 = jax.lax.pcast(best0, axis, to="varying")
 
             def step(carry, _):
                 best, tm, tc, tmask = carry
                 if on_tpu:
                     _, _, _, _, _, b = vgicp_iteration(
-                        T, sx, sm, sc, tm, tc, tmask,
+                        T, sx_l, sm_l, sc_l, tm, tc, tmask,
                         max_correspondence_dist=max_correspondence_dist,
                         cov_eps=cov_eps, return_best=True)
-                    rows = best_payload_to_rows(b, N)
+                    rows = best_payload_to_rows(b, Nl)
                 else:
-                    rows = vgicp_sweep_best_xla(T, sx, tm, tc, tmask)
+                    rows = vgicp_sweep_best_xla(T, sx_l, tm, tc, tmask)
                 best = merge_best_rows(best, rows)
                 tm = jax.lax.ppermute(tm, axis, perm)
                 tc = jax.lax.ppermute(tc, axis, perm)
@@ -222,7 +248,7 @@ def _cached_ring_align(mesh: Mesh, axis: str, max_correspondence_dist: float,
             (best, _, _, _), _ = jax.lax.scan(
                 step, (best0, tm0, tc0, tmask0), None, length=n)
             return vgicp_accumulators_from_best_xla(
-                T, sx, sm, sc, best,
+                T, sx_l, sm_l, sc_l, best,
                 max_correspondence_dist=max_correspondence_dist,
                 cov_eps=cov_eps)
 
@@ -232,13 +258,12 @@ def _cached_ring_align(mesh: Mesh, axis: str, max_correspondence_dist: float,
 
         def body(state):
             T, it, _, _, _ = state
-            # the sweep's outputs are device-varying types (they flow from
-            # the visiting shards) though numerically identical everywhere;
-            # pmean-ing the 35 scalars makes them PROVABLY invariant so the
-            # while carry, the solve, and the convergence predicate stay
-            # replicated (a varying while-predicate is ill-formed)
+            # slice partials -> full accumulators; psum also makes them
+            # PROVABLY replicated so the while carry, the solve, and the
+            # convergence predicate stay invariant (a varying
+            # while-predicate is ill-formed)
             H, g, cost, wsum, d2sum = jax.tree.map(
-                lambda x: jax.lax.pmean(x, axis), sweep(T))
+                lambda x: jax.lax.psum(x, axis), sweep(T))
             H = H + lm_lambda * jnp.eye(6, dtype=T.dtype)
             xi = solve_spd6(H, -g)
             xi = jnp.where(jnp.isfinite(xi), xi, 0.0)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from icp4dradar_tpu.config import PipelineConfig
 from icp4dradar_tpu.io import SyntheticSequence
@@ -69,6 +70,70 @@ class TestScanToScan:
         a = f(scans)
         b = f(scans)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_tracking_gate_rescues_degenerate_frame(self):
+        """A frame whose scan is the previous scan rigidly displaced 30 m
+        makes ICP report a confident 30 m jump (low fitness, perfect
+        alignment — the degenerate-geometry walk-off class). The gate must
+        replace it with the Doppler prediction; blind composition (all
+        gates inf, reference parity) must inherit the full jump."""
+        seq = make_seq(frames=12)
+        scans = stack_scans([seq.scan(k) for k in range(12)])
+        bad = 6
+        xyz = scans.xyz.at[bad].set(
+            scans.xyz[bad - 1] + jnp.asarray([30.0, 0.0, 0.0]))
+        corrupt = scans.replace(xyz=xyz, mask=scans.mask.at[bad].set(
+            scans.mask[bad - 1]))
+
+        gated = run_scan_to_scan(corrupt, small_cfg(),
+                                 use_doppler_prior=True)
+        blind = run_scan_to_scan(
+            corrupt,
+            small_cfg(**{"tracking.max_fitness": float("inf"),
+                         "tracking.max_correction_t": float("inf"),
+                         "tracking.max_correction_rot_deg": float("inf")}),
+            use_doppler_prior=True)
+
+        gt = seq.poses[:, :3, 3]
+        ate_g = ate_rmse(np.asarray(gated.world_T)[:, :3, 3], gt, align=False)
+        ate_b = ate_rmse(np.asarray(blind.world_T)[:, :3, 3], gt, align=False)
+        assert not bool(gated.accepted[bad])
+        # two frames fall back to the Doppler prior (the corrupted frame
+        # and its successor, which registers AGAINST the corrupted scan) —
+        # ~1 m residual vs a 30 m blind jump
+        assert ate_g < 2.0, f"gated ATE {ate_g:.2f} m"
+        assert ate_b > 10.0, f"blind ATE should blow up, got {ate_b:.2f} m"
+
+
+class TestVendorProfiles:
+    """Dataset-shaped stressors: the pipeline must keep tracking under each
+    vendor schema's FoV / dropout / multipath / angular-noise statistics
+    (profiles in io/dataset.py::VENDOR_PROFILES; schemas io/formats.py,
+    ref src/radar_odometry.cpp:461-572)."""
+
+    @pytest.mark.parametrize("profile", ["coloradar", "oculii"])
+    def test_scan_to_map_tracks_under_profile(self, profile):
+        seq = make_seq(frames=12, vendor_profile=profile)
+        scans = stack_scans([seq.scan(k) for k in range(12)])
+        _, outs = run_scan_to_map(scans, small_cfg())
+        est = np.asarray(outs.world_T)[:, :3, 3]
+        ate = ate_rmse(est, seq.poses[:, :3, 3], align=False)
+        assert ate < 1.0, f"{profile}: ATE {ate:.3f} m"
+
+    def test_profile_actually_degrades(self):
+        seq_i = make_seq(frames=2)
+        seq_v = make_seq(frames=2, vendor_profile="ti_mmwave")
+        ideal = seq_i.scan(1)
+        deg = seq_v.scan(1)
+        # fewer valid points (FoV + range + dropout) and range capped
+        assert float(deg.mask.sum()) < 0.8 * float(ideal.mask.sum())
+        r = np.linalg.norm(np.asarray(deg.xyz), axis=-1)
+        assert r[np.asarray(deg.mask) > 0.5].max() < 31.0
+
+    def test_dynamic_truth_guard(self):
+        seq = make_seq(frames=2, vendor_profile="rio")
+        with pytest.raises(ValueError):
+            seq.dynamic_truth(0)
 
 
 class TestScanToMap:

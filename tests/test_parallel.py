@@ -52,6 +52,35 @@ class TestDistributedGN:
         err = np.abs(np.asarray(out8.poses[:, :3, 3]) - gt[:, :3, 3]).max()
         assert err < 1e-2
 
+    def test_block_optimize_matches_single_device(self, mesh):
+        """O(K) distributed block GN (sharded chain + replicated loops +
+        psum'd block diagonals) equals the single-device block solver."""
+        from icp4dradar_tpu.graph.block_solver import optimize_pose_graph_block
+        from icp4dradar_tpu.parallel import (
+            distributed_optimize_pose_graph_block,
+        )
+
+        gt, init, rel = make_drifted_chain(K=12)
+        # add two loop closures so the replicated low-rank path is exercised
+        gtj = jnp.asarray(gt)
+        li = np.asarray([2, 5], np.int32)
+        lj = np.asarray([9, 11], np.int32)
+        T_loop = jnp.stack([
+            jnp.linalg.inv(gtj[a]) @ gtj[b] for a, b in zip(li, lj)])
+        rel = RelPoseFactors.build(
+            i=np.concatenate([np.asarray(rel.i), li]),
+            j=np.concatenate([np.asarray(rel.j), lj]),
+            T_meas=jnp.concatenate([rel.T_meas, T_loop]),
+        )
+        graph = PoseGraph(poses=jnp.asarray(init), rel=rel)
+        cfg = PoseGraphConfig(max_iterations=10)
+        out1, cost1 = optimize_pose_graph_block(graph, cfg)
+        out8, cost8 = distributed_optimize_pose_graph_block(graph, mesh, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out8.poses), np.asarray(out1.poses), atol=1e-3)
+        np.testing.assert_allclose(float(cost8), float(cost1),
+                                   rtol=1e-3, atol=1e-5)
+
     def test_point_factors_sharded(self, mesh):
         rng = np.random.default_rng(3)
         from icp4dradar_tpu.geom import se3_apply, se3_exp
