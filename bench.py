@@ -14,6 +14,7 @@ src/iterative_closest_point.cpp:258), so vs_baseline = value / 100.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,6 +23,25 @@ import numpy as np
 FRAMES = 256
 MAX_POINTS = 2048
 BASELINE_SCANS_PER_SEC = 100.0  # reference frame-loop rate cap
+
+# Cold-cache staging: each jit program costs minutes of tunnel compile when
+# the persistent cache misses (measured 533 s for all three in r2). The
+# secondary/tertiary programs are stderr-only diagnostics — skip them when
+# the elapsed wall-clock crosses this budget so the PRIMARY JSON line always
+# lands inside the driver's window.
+BENCH_BUDGET_S = float(os.environ.get("ICP4D_BENCH_BUDGET_S", "240"))
+_START = time.time()
+
+
+def _within_budget(stage: str) -> bool:
+    elapsed = time.time() - _START
+    if elapsed > BENCH_BUDGET_S:
+        print(f"skipping {stage}: {elapsed:.0f}s elapsed > "
+              f"{BENCH_BUDGET_S:.0f}s budget (cold-compile guard; rerun "
+              f"with a warm cache or raise ICP4D_BENCH_BUDGET_S)",
+              file=sys.stderr)
+        return False
+    return True
 
 
 def main() -> int:
@@ -85,7 +105,8 @@ def main() -> int:
     # secondary: flagship scan-to-map VGICP tracking (blocked runner: one
     # sector query + one batched insert per 8 frames; see
     # models/scan_to_map.py::run_scan_to_map_blocked)
-    try:
+    if _within_budget("secondary scan_to_map"):
+      try:
         from icp4dradar_tpu.models import run_scan_to_map_blocked
 
         F2 = 64
@@ -106,11 +127,12 @@ def main() -> int:
                         align=False)
         print(f"secondary scan_to_map: {dt2*1e3/F2:.2f} ms/frame "
               f"({F2/dt2:.1f} scans/s), ATE {ate2:.3f} m", file=sys.stderr)
-    except Exception as e:  # secondary must never break the primary metric
+      except Exception as e:  # secondary must never break the primary metric
         print(f"secondary scan_to_map failed: {e}", file=sys.stderr)
 
     # tertiary: multi-stream serving throughput (B sequences, private maps)
-    try:
+    if _within_budget("tertiary batched scan_to_map"):
+      try:
         from icp4dradar_tpu.models import run_scan_to_map_batch
 
         B, F3 = 4, 64
@@ -127,7 +149,7 @@ def main() -> int:
         print(f"tertiary batched scan_to_map: B={B} streams, "
               f"{B * F3 / dt3:.1f} aggregate scans/s "
               f"({dt3 * 1e3 / F3:.2f} ms/frame-step)", file=sys.stderr)
-    except Exception as e:
+      except Exception as e:
         print(f"tertiary batched scan_to_map failed: {e}", file=sys.stderr)
 
     print(json.dumps({

@@ -25,4 +25,5 @@ from icp4dradar_tpu.io.rosbag import (  # noqa: F401
     OdomSample,
 )
 from icp4dradar_tpu.io.bag_dataset import RadarBagDataset  # noqa: F401
+from icp4dradar_tpu.io.synthetic_bag import write_synthetic_bag  # noqa: F401
 from icp4dradar_tpu.io.pcd import read_pcd, write_pcd, PcdSequenceDataset  # noqa: F401

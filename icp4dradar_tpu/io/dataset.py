@@ -165,6 +165,10 @@ class SyntheticSequence:
     # limit, range-dependent dropout, multipath ghosts, and angular noise.
     # None = the ideal sensor (unchanged historic behavior).
     vendor_profile: Optional[str] = None
+    # optional per-frame yaw increments (rad/frame) overriding the constant
+    # turn_rate — enables multi-revisit trajectories (figure-eight, repeated
+    # laps) for loop-closure evaluation. Length must be >= num_frames.
+    turn_schedule: Optional[np.ndarray] = None
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -207,7 +211,8 @@ class SyntheticSequence:
         T = np.eye(4, dtype=np.float32)
         for k in range(self.num_frames):
             poses[k] = T
-            yaw = self.turn_rate
+            yaw = (float(self.turn_schedule[k])
+                   if self.turn_schedule is not None else self.turn_rate)
             c, s = np.cos(yaw), np.sin(yaw)
             dR = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=np.float32)
             dT = np.eye(4, dtype=np.float32)

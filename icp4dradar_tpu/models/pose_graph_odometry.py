@@ -46,13 +46,21 @@ class PoseGraphOdometryResult:
     cost: float
 
 
-def _compose_range(T_rel: np.ndarray, a: int, b: int) -> np.ndarray:
-    """prod T_rel[a+1..b] — relative transform keyframe a -> b from the
-    per-frame odometry increments."""
-    T = np.eye(4, dtype=np.float32)
-    for k in range(a + 1, b + 1):
-        T = T @ T_rel[k]
-    return T
+def _relative_between(odom: np.ndarray, a_idx: np.ndarray,
+                      b_idx: np.ndarray) -> np.ndarray:
+    """Batched inv(odom[a]) @ odom[b] — the odometry-implied relative
+    transform between frame pairs, one einsum instead of a per-pair host
+    loop (odom[b] = odom[a] · T_rel[a+1..b], so this equals the composed
+    increment product). SE(3) inverse in closed form (Rᵀ, -Rᵀt) — no
+    4x4 np.linalg.inv per pair."""
+    Ta = odom[a_idx]
+    Tb = odom[b_idx]
+    Rat = np.swapaxes(Ta[:, :3, :3], -1, -2)
+    out = np.tile(np.eye(4, dtype=odom.dtype), (len(a_idx), 1, 1))
+    out[:, :3, :3] = np.einsum("kij,kjl->kil", Rat, Tb[:, :3, :3])
+    out[:, :3, 3] = np.einsum(
+        "kij,kj->ki", Rat, Tb[:, :3, 3] - Ta[:, :3, 3])
+    return out
 
 
 def run_pose_graph_odometry(
@@ -99,12 +107,8 @@ def run_pose_graph_odometry(
         else:
             _, m_outs = run_scan_to_map(scans, cfg)
         odom = np.asarray(m_outs.world_T)
-        T_rel = np.stack(
-            [np.eye(4, dtype=np.float32)]
-            + [np.linalg.inv(odom[k - 1]) @ odom[k] for k in range(1, F)])
     elif front_end == "scan_to_scan":
         outs = run_scan_to_scan(scans, cfg, use_doppler_prior=True)
-        T_rel = np.asarray(outs.icp_transform)  # (F,4,4)
         odom = np.asarray(outs.world_T)
     else:
         raise ValueError(f"unknown front_end: {front_end!r}")
@@ -113,14 +117,14 @@ def run_pose_graph_odometry(
     K = len(kf)
     kf_odom = odom[kf]
 
-    # odometry chain factors between consecutive keyframes
-    chain_T = np.stack([
-        _compose_range(T_rel, int(kf[i]), int(kf[i + 1])) for i in range(K - 1)
-    ]) if K > 1 else np.zeros((0, 4, 4), np.float32)
-    fi = list(range(K - 1))
-    fj = list(range(1, K))
-    f_T = list(chain_T)
-    f_w = [odom_weight] * (K - 1)
+    # odometry chain factors between consecutive keyframes — batched
+    # relative transforms, no per-keyframe composition loop
+    chain_T = (_relative_between(odom, kf[:-1], kf[1:])
+               if K > 1 else np.zeros((0, 4, 4), np.float32))
+    fi = np.arange(K - 1, dtype=np.int32)
+    fj = np.arange(1, K, dtype=np.int32)
+    f_T = chain_T.astype(np.float32)
+    f_w = np.full(K - 1, odom_weight, np.float32)
 
     # ---- loop-closure candidates: near in space, far in time ----
     d = np.linalg.norm(
@@ -140,10 +144,7 @@ def run_pose_graph_odometry(
         # initialized at the odometry-implied relative transform
         src_idx = kf[pairs[:, 1]]
         tgt_idx = kf[pairs[:, 0]]
-        init_T = jnp.asarray(np.stack([
-            np.linalg.inv(odom[a]) @ odom[b]
-            for a, b in zip(tgt_idx, src_idx)
-        ]))
+        init_T = jnp.asarray(_relative_between(odom, tgt_idx, src_idx))
         src = jax.tree.map(lambda x: x[jnp.asarray(src_idx)], scans)
         tgt = jax.tree.map(lambda x: x[jnp.asarray(tgt_idx)], scans)
 
@@ -165,24 +166,34 @@ def run_pose_graph_odometry(
         T_loop = np.asarray(T_loop)
         fit = np.asarray(fit)
         frac = np.asarray(frac)
-        for m in range(len(pairs)):
-            if (fit[m] < loop_gated_fitness_max
-                    and frac[m] > loop_min_inlier_fraction):
-                fi.append(int(pairs[m, 0]))
-                fj.append(int(pairs[m, 1]))
-                f_T.append(T_loop[m])
-                f_w.append(loop_weight)
-                n_loops += 1
+        # accept by boolean mask, not a per-candidate Python loop
+        acc = ((fit < loop_gated_fitness_max)
+               & (frac > loop_min_inlier_fraction))
+        n_loops = int(acc.sum())
+        fi = np.concatenate([fi, pairs[acc, 0].astype(np.int32)])
+        fj = np.concatenate([fj, pairs[acc, 1].astype(np.int32)])
+        f_T = np.concatenate([f_T, T_loop[acc].astype(np.float32)])
+        f_w = np.concatenate(
+            [f_w, np.full(n_loops, loop_weight, np.float32)])
+
+    # frame -> owning-keyframe segment, once (frames before kf[0] can't
+    # exist since kf[0] == 0)
+    seg = np.searchsorted(kf, np.arange(F), side="right") - 1
 
     def reanchor(kf_refined: np.ndarray) -> np.ndarray:
-        """Re-anchor every frame to its segment's refined keyframe."""
-        poses = odom.copy()
-        for i in range(K):
-            lo = int(kf[i])
-            hi = int(kf[i + 1]) if i + 1 < K else F
-            correction = kf_refined[i] @ np.linalg.inv(odom[lo])
-            poses[lo:hi] = correction @ odom[lo:hi]
-        return poses
+        """Re-anchor every frame to its segment's refined keyframe —
+        one batched rigid correction per segment, gathered per frame
+        (no per-keyframe host loop)."""
+        # correction_i = kf_refined[i] @ inv(odom[kf[i]]) via closed-form
+        # SE(3) inverse
+        anchors = odom[kf]
+        Rat = np.swapaxes(anchors[:, :3, :3], -1, -2)
+        corr = np.tile(np.eye(4, dtype=odom.dtype), (K, 1, 1))
+        corr[:, :3, :3] = np.einsum(
+            "kij,kjl->kil", kf_refined[:, :3, :3], Rat)
+        corr[:, :3, 3] = kf_refined[:, :3, 3] - np.einsum(
+            "kij,kj->ki", corr[:, :3, :3], anchors[:, :3, 3])
+        return np.einsum("fij,fjl->fil", corr[seg], odom)
 
     def mine_structure_factors(frame_poses: np.ndarray,
                                kf_poses: np.ndarray) -> dict:
@@ -227,7 +238,7 @@ def run_pose_graph_odometry(
     if len(fi):
         rel = RelPoseFactors.build(
             np.asarray(fi, np.int32), np.asarray(fj, np.int32),
-            np.stack(f_T).astype(np.float32), np.asarray(f_w, np.float32),
+            np.asarray(f_T, np.float32), np.asarray(f_w, np.float32),
         )
         frames_cur = odom
         rounds = cfg.structure.rounds if structure_factors else 1
@@ -238,11 +249,16 @@ def run_pose_graph_odometry(
             graph = PoseGraph(poses=jnp.asarray(kf_refined), rel=rel,
                               **struct_factors)
             if mesh is not None:
+                # O(K) distributed back-end: block-tridiagonal assembly is
+                # factor-sharded and psum'd structurally, loop closures ride
+                # as replicated low-rank columns; NEVER the dense 36K² psum
+                # + O(K³) replicated Cholesky (measured 85% of distributed
+                # GN wall-clock at K=256 — docs/PERFORMANCE.md)
                 from icp4dradar_tpu.parallel import (
-                    distributed_optimize_pose_graph,
+                    distributed_optimize_pose_graph_block,
                 )
 
-                graph, cost = distributed_optimize_pose_graph(
+                graph, cost = distributed_optimize_pose_graph_block(
                     graph, mesh, cfg.pose_graph
                 )
             else:

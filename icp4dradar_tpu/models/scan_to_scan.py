@@ -75,7 +75,15 @@ def _gate_relative(cfg: PipelineConfig, T_icp, init_T, fitness):
     """Frame-parallel tracking gate: validate one ICP delta against its own
     prior (the Doppler prediction, or identity without one). Returns the
     delta to compose (prior if rejected) and the accept flag. Identity
-    pass-through when all gates are inf (reference-parity)."""
+    pass-through when all gates are inf (reference-parity).
+
+    CAVEAT (prior-less callers): with use_doppler_prior=False the prior is
+    identity, so legitimate per-frame motion beyond max_correction_t (5 m
+    default) or max_correction_rot_deg (25 deg) is rejected and replaced by
+    identity — the pose freezes. At default gates that needs >50 m/s ego
+    speed at 10 Hz; platforms moving that fast without a Doppler prior must
+    widen the gates (or set them inf for reference-parity blind
+    composition)."""
     import math
 
     t = cfg.tracking

@@ -19,6 +19,7 @@ from icp4dradar_tpu.parallel.batch import (  # noqa: F401
 from icp4dradar_tpu.parallel.sharded_map import (  # noqa: F401
     sharded_map_create,
     sharded_map_insert,
+    sharded_map_rehash,
     sharded_sector_search_with_stats,
 )
 from icp4dradar_tpu.parallel.ring_vgicp import (  # noqa: F401

@@ -265,6 +265,7 @@ def distributed_optimize_pose_graph_block(
     from icp4dradar_tpu.graph.block_solver import split_chain_loops
 
     n = mesh.shape[axis]
+    orig_rel = graph.rel
     chain, loops = split_chain_loops(graph.rel)
     graph = graph.replace(rel=None)
     graph = pad_factors_for_mesh(graph, n)
@@ -275,4 +276,7 @@ def distributed_optimize_pose_graph_block(
         mesh, cfg, axis, tuple(sorted(fdict)),
         chain is not None, loops is not None)
     poses, cost = optimize(graph.poses, fdict, chain, loops)
-    return graph.replace(poses=poses, rel=None), cost
+    # hand back the caller's between-factor container untouched (the dense
+    # path preserves it too; stripping it would silently lose loop closures
+    # from a graph the caller re-optimizes or inspects)
+    return graph.replace(poses=poses, rel=orig_rel), cost

@@ -31,9 +31,17 @@ Equality with the single-device run_scan_to_map (same config, VGICP path)
 is exact up to f32 reduction order — tested in
 tests/test_distributed_pipeline.py on the 8-device CPU mesh.
 
-Rehash is NOT run here (it is a global repacking; tombstone pressure is
-bounded by forget_radius ≫ sector_radius in long runs, and a host-level
-gather → rehash → scatter remains available between sequences).
+Long-run maintenance matches the single-device flagship: forget-far is
+elementwise over local slots, and tombstone reclamation runs as the
+DISTRIBUTED rehash (sharded_map.shard_local_rehash — all-gather live rows,
+claim-arbitrate per shard, psum verdicts) under the same psum'd
+tombstone-fraction trigger, so a long distributed run never hits the
+"table full of dead keys, new territory stops inserting" failure
+(docs/PERFORMANCE.md). `block > 1` additionally amortizes the fixed-cost
+map ops exactly like models/scan_to_map.py::run_scan_to_map_blocked: ONE
+sector query + ONE batched insert per block of frames, frames inside a
+block registering against a submap frozen at block start, with the
+const-velocity rotation prior cutting GN sweeps on turns.
 """
 
 from __future__ import annotations
@@ -61,6 +69,7 @@ from icp4dradar_tpu.ops.vgicp_fused import (
 )
 from icp4dradar_tpu.parallel.sharded_map import (
     shard_local_insert,
+    shard_local_maybe_rehash,
     shard_local_sector_stats,
     sharded_map_create,
 )
@@ -151,11 +160,15 @@ def _ring_gn_align(
 
 @functools.lru_cache(maxsize=8)
 def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
-                            use_doppler_prior: bool, forget: bool):
+                            use_doppler_prior: bool, forget: bool,
+                            block: int = 0, use_cv_rot: bool = False):
     """Build the whole-sequence shard_map ONCE per (mesh, axis, cfg) — the
     jit cache must survive across calls (CLAUDE.md: TPU recompiles go
-    through the tunnel)."""
+    through the tunnel). `block > 1` compiles the amortized-map-ops variant
+    (one sector query + one batched insert per block, const-velocity
+    rotation prior optional) mirroring run_scan_to_map_blocked."""
     from icp4dradar_tpu.models.scan_to_map import _apply_tracking_gate
+    from icp4dradar_tpu.geom.so3 import so3_project
 
     n = mesh.shape[axis]
     C = cfg.voxel_map.capacity
@@ -172,6 +185,27 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
         lambda: voxel_map_create(C, vmcfg.voxel_size, vmcfg.max_probes))
     map_specs = jax.tree.map(
         lambda x: P(axis) if len(x.shape) == 1 else P(axis, None), vm_shape)
+
+    def maintain(vm, position):
+        if forget:
+            vm = voxel_map_forget_far(vm, position, vmcfg.forget_radius)
+            vm = shard_local_maybe_rehash(
+                vm, axis, C, Cl, vmcfg.rehash_tombstone_fraction)
+        return vm
+
+    def ring_register(pose, scan_xyz, inlier_mask, src_cov6,
+                      tm_centered, tc, tmask, center):
+        """Ring GN in the cloud-centered frame (vgicp.py rationale:
+        km-scale world coordinates cancel catastrophically in f32);
+        `center` is the frame the frozen submap was shifted by."""
+        T0 = pose.at[:3, 3].add(-center)
+        T, fitness, iters = _ring_gn_align(
+            T0, scan_xyz, inlier_mask, src_cov6,
+            tm_centered, tc, tmask, axis, perm, on_tpu,
+            gicp.max_correspondence_dist, gicp.cov_epsilon,
+            gicp.lm_lambda, gicp.max_iterations,
+            gicp.vgicp_transformation_epsilon)
+        return T.at[:3, 3].add(center), fitness, iters
 
     def local(local_vm, scans, keys):
         def frame_step(carry, inp):
@@ -195,17 +229,10 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
                 scan.xyz, gicp.sigma_range, gicp.sigma_azimuth,
                 gicp.sigma_elevation)
 
-            # cloud-centered optimization frame (vgicp.py rationale:
-            # km-scale world coordinates cancel catastrophically in f32)
             center = pose[:3, 3]
-            T0 = pose.at[:3, 3].set(jnp.zeros_like(center))
-            T, fitness, _iters = _ring_gn_align(
-                T0, scan.xyz, est.inlier_mask, src_cov6,
-                tm - center[None, :], tc, tmask, axis, perm, on_tpu,
-                gicp.max_correspondence_dist, gicp.cov_epsilon,
-                gicp.lm_lambda, gicp.max_iterations,
-                gicp.vgicp_transformation_epsilon)
-            new_T = T.at[:3, 3].add(center)
+            new_T, fitness, _iters = ring_register(
+                pose, scan.xyz, est.inlier_mask, src_cov6,
+                tm - center[None, :], tc, tmask, center)
 
             insert_mask = est.inlier_mask
             new_T, insert_mask, _ = _apply_tracking_gate(
@@ -214,18 +241,105 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
             corrected = se3_apply(new_T, scan.xyz)
             vm = shard_local_insert(
                 vm, corrected, insert_mask, scan.intensity, axis, C, Cl)
-            if forget:
-                vm = voxel_map_forget_far(vm, new_T[:3, 3],
-                                          vmcfg.forget_radius)
+            vm = maintain(vm, new_T[:3, 3])
 
             out = (new_T, new_T @ se3_inverse(pose), est.velocity,
                    est.valid, fitness, jnp.sum(est.inlier_mask), sub_n,
                    _iters)
             return (vm, new_T), out
 
-        pose0 = se3_identity(scans.xyz.dtype)
-        (vm, _), outs = jax.lax.scan(
-            frame_step, (local_vm, pose0), (scans, keys))
+        if block <= 1:
+            pose0 = se3_identity(scans.xyz.dtype)
+            (vm, _), outs = jax.lax.scan(
+                frame_step, (local_vm, pose0), (scans, keys))
+            return vm, outs
+
+        # ---- blocked variant: warmup per-frame, then amortized blocks ----
+        F = scans.xyz.shape[0]
+        F0 = block
+        nblocks = (F - F0) // block
+        dt = scans.xyz.dtype
+
+        warm = jax.tree.map(lambda x: x[:F0], scans)
+        pose0 = se3_identity(dt)
+        (vm, pose), warm_outs = jax.lax.scan(
+            frame_step, (local_vm, pose0), (warm, keys[:F0]))
+        # bootstrap the const-velocity rotation from the last warmup delta
+        warm_T = warm_outs[0]
+        warm_delta = se3_inverse(warm_T[-2]) @ warm_T[-1]
+        prev_rot0 = jnp.eye(4, dtype=dt).at[:3, :3].set(
+            so3_project(warm_delta[:3, :3]))
+
+        rest = jax.tree.map(
+            lambda x: x[F0:].reshape((nblocks, block) + x.shape[1:]), scans)
+        # frame-parallel precompute: REVE + measurement covariances depend
+        # only on the raw scan (replicated compute, one vmapped dispatch)
+        rest_flat = jax.tree.map(lambda x: x[F0:], scans)
+        est_all = jax.vmap(
+            lambda s, k: estimate_ego_velocity(s, k, cfg.reve)
+        )(rest_flat, keys[F0:])
+        est_blocks = jax.tree.map(
+            lambda x: x.reshape((nblocks, block) + x.shape[1:]), est_all)
+        NP = scans.xyz.shape[1]
+        cov_blocks = radar_point_covariances_packed(
+            rest_flat.xyz.reshape(-1, 3), gicp.sigma_range,
+            gicp.sigma_azimuth, gicp.sigma_elevation,
+        ).reshape(nblocks, block, NP, 6)
+
+        def blk_frame_step(carry, inp):
+            pose, prev_rot, frozen = carry
+            tm_c, tc, tmask, sub_n, center = frozen
+            scan, est, src_cov6 = inp
+            pose_in = pose
+            if use_cv_rot:
+                pose = pose @ prev_rot
+            if use_doppler_prior:
+                pose = pose.at[:3, 3].add(jnp.where(
+                    est.valid, pose[:3, :3] @ est.velocity,
+                    jnp.zeros_like(est.velocity)))
+            new_T, fitness, _iters = ring_register(
+                pose, scan.xyz, est.inlier_mask, src_cov6,
+                tm_c, tc, tmask, center)
+            insert_mask = est.inlier_mask
+            new_T, insert_mask, _ = _apply_tracking_gate(
+                cfg, pose, new_T, fitness, insert_mask)
+            delta = se3_inverse(pose_in) @ new_T
+            new_rot = jnp.eye(4, dtype=delta.dtype).at[:3, :3].set(
+                so3_project(delta[:3, :3]))
+            out = (new_T, new_T @ se3_inverse(pose), est.velocity,
+                   est.valid, fitness, jnp.sum(est.inlier_mask), sub_n,
+                   _iters)
+            world_pts = se3_apply(new_T, scan.xyz)
+            return (new_T, new_rot, frozen), (out, world_pts, insert_mask,
+                                              scan.intensity)
+
+        def block_step(carry, inp):
+            vm, pose, prev_rot = carry
+            scans_b, est_b, cov_b = inp
+            heading = matrix_to_rpy(pose[:3, :3])[2]
+            center = pose[:3, 3]
+            _, tmask, cnt_l, tm, tc = shard_local_sector_stats(
+                vm, center, vmcfg.sector_radius, heading,
+                vmcfg.sector_half_angle_deg, per)
+            sub_n = jax.lax.psum(cnt_l, axis)
+            frozen = (tm - center[None, :], tc, tmask, sub_n, center)
+            (pose, prev_rot, _), (outs, world_pts, masks, intens) = \
+                jax.lax.scan(blk_frame_step, (pose, prev_rot, frozen),
+                             (scans_b, est_b, cov_b))
+            vm = shard_local_insert(
+                vm, world_pts.reshape(-1, 3), masks.reshape(-1),
+                intens.reshape(-1), axis, C, Cl)
+            vm = maintain(vm, pose[:3, 3])
+            return (vm, pose, prev_rot), outs
+
+        (vm, _, _), blk_outs = jax.lax.scan(
+            block_step, (vm, pose, prev_rot0),
+            (rest, est_blocks, cov_blocks))
+        blk_outs = jax.tree.map(
+            lambda x: x.reshape((nblocks * block,) + x.shape[2:]), blk_outs)
+        outs = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0),
+            warm_outs, blk_outs)
         return vm, outs
 
     fn = jax.shard_map(
@@ -244,28 +358,48 @@ def run_scan_to_map_distributed(
     key: Optional[jax.Array] = None,
     axis: str = "dp",
     use_doppler_prior: bool = True,
+    block: int = 0,
+    use_const_velocity_rot: bool = False,
 ):
     """Track a stacked (F, ...) sequence on the mesh; the map lives sharded
     the whole time. Returns (final sharded VoxelHashMap, outs dict with
     per-frame world_T / correction / velocity / velocity_valid / fitness /
     num_inliers / submap_points / iterations).
 
+    `block > 1`: amortize the fixed-cost map ops — one sector query + one
+    batched insert per `block` frames (submap frozen at block start, the
+    run_scan_to_map_blocked design on the mesh); needs
+    (F - block) % block == 0. `use_const_velocity_rot`: predict each
+    frame's heading change from the previous refined body delta (blocked
+    mode only — the per-frame path keeps reference semantics).
+
     Requires cfg.gicp.use_vgicp (the distributed registration is the ring
-    VGICP sweep) and capacity / submap_max_points divisible by the mesh."""
+    VGICP sweep) and capacity / submap_max_points divisible by the mesh.
+
+    Submap quota caveat: each device compacts its sector voxels to
+    submap_max_points/n rows (shard_local_sector_stats). Hash placement is
+    ~uniform but not exact, so when sector occupancy approaches the submap
+    budget a hot shard can truncate while others have slack — size
+    submap_max_points with headroom over the expected sector voxel count."""
     n = mesh.shape[axis]
     if not cfg.gicp.use_vgicp:
         raise ValueError("distributed pipeline requires cfg.gicp.use_vgicp")
     if cfg.voxel_map.capacity % n or cfg.voxel_map.submap_max_points % n:
         raise ValueError(
             f"capacity {cfg.voxel_map.capacity} and submap_max_points "
-            f"{cfg.voxel_map.submap_max_points} must divide mesh size {n}")
+            f"{cfg.voxel_map.submap_max_points} must be divisible by mesh "
+            f"size {n}")
     if scans.xyz.shape[1] % n:
         raise ValueError(
-            f"scan point budget {scans.xyz.shape[1]} must divide mesh "
-            f"size {n} (the ring sweep shards the scan)")
+            f"scan point budget {scans.xyz.shape[1]} must be divisible by "
+            f"mesh size {n} (the ring sweep shards the scan)")
     if key is None:
         key = jax.random.key(cfg.seed)
     F = scans.xyz.shape[0]
+    if block > 1 and (F - block) % block != 0:
+        raise ValueError(
+            f"blocked distributed run needs (F - block) % block == 0, got "
+            f"F={F}, block={block}")
     keys = jax.random.split(key, F)
     import math
     forget = math.isfinite(cfg.voxel_map.forget_radius)
@@ -275,7 +409,8 @@ def run_scan_to_map_distributed(
         voxel_size=cfg.voxel_map.voxel_size,
         max_probes=cfg.voxel_map.max_probes, axis=axis)
     fn = _cached_distributed_run(mesh, axis, cfg, bool(use_doppler_prior),
-                                 forget)
+                                 forget, int(block),
+                                 bool(use_const_velocity_rot))
     vm, raw = fn(vm, scans, keys)
     names = ("world_T", "correction", "velocity", "velocity_valid",
              "fitness", "num_inliers", "submap_points", "iterations")

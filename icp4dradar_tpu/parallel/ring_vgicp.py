@@ -84,7 +84,7 @@ def ring_vgicp_normal_equations(
     n = mesh.shape[axis]
     M = tgt_mean.shape[0]
     if M % n:
-        raise ValueError(f"target rows {M} must divide mesh size {n}")
+        raise ValueError(f"target rows {M} must be divisible by mesh size {n}")
     src_xyz, src_mask, src_cov6 = _pad_scan_to_mesh(
         src_xyz, src_mask, src_cov6, n)
 
@@ -184,7 +184,7 @@ def ring_vgicp_align(
     n = mesh.shape[axis]
     M = tgt_mean.shape[0]
     if M % n:
-        raise ValueError(f"target rows {M} must divide mesh size {n}")
+        raise ValueError(f"target rows {M} must be divisible by mesh size {n}")
     src_xyz, src_mask, src_cov6 = _pad_scan_to_mesh(
         src_xyz, src_mask, src_cov6, n)
     T0 = (se3_identity(src_xyz.dtype) if init_transform is None

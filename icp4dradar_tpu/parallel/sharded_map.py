@@ -183,6 +183,96 @@ def shard_local_insert(
     )
 
 
+def shard_local_rehash(local_vm: VoxelHashMap, axis: str, C: int,
+                       Cl: int) -> VoxelHashMap:
+    """Distributed tombstone reclamation: rebuild the WHOLE sharded table
+    from live voxels only, inside a shard_map region over `axis`.
+
+    The sharded analog of mapping.voxel_hash.voxel_map_rehash (itself the
+    analog of ikd-Tree's re-balance rebuild, ikd_Tree.cpp:633-653): live
+    entries restart their probe chains at _hash(key), so an entry can move
+    ACROSS shard boundaries (its fresh chain may land in another device's
+    slot range). Each device all-gathers the live rows once (O(C) payload —
+    maintenance-rate traffic, not per-frame), then claims only slots it
+    owns; per-round psums propagate each candidate's claim verdict exactly
+    like shard_local_insert. Claim arbitration is by global old-slot index,
+    matching the single-device rehash row for row. Live entries whose fresh
+    chain exceeds max_probes drop (same pressure policy as insertion)."""
+    d = jax.lax.axis_index(axis)
+    slot_base = d * Cl
+
+    keys_g = jax.lax.all_gather(local_vm.keys, axis, tiled=True)    # (C,3)
+    live_g = jax.lax.all_gather(local_vm.occupied > 0.5, axis,
+                                tiled=True)                         # (C,)
+    payload_l = jnp.concatenate(
+        [local_vm.points, local_vm.intensity[:, None],
+         local_vm.stat_n[:, None], local_vm.stat_sum, local_vm.stat_sq],
+        axis=-1)                                                    # (Cl,14)
+    payload_g = jax.lax.all_gather(payload_l, axis, tiled=True)     # (C,14)
+
+    h0 = _hash(keys_g, C)
+    iota = jnp.arange(C, dtype=jnp.int32)
+    keys_new = jnp.full((Cl, 3), _EMPTY, dtype=jnp.int32)
+    # payload + occupied flag column
+    buf = jnp.zeros((Cl, 15), payload_g.dtype)
+
+    def cond_fn(carry):
+        _, _, alive, _, rnd = carry
+        return (rnd < local_vm.max_probes) & jnp.any(alive)
+
+    def body_fn(carry):
+        keys_new, buf, alive, offset, rnd = carry
+        slot = (h0 + offset) & (C - 1)
+        mine = (slot >= slot_base) & (slot < slot_base + Cl) & alive
+        lslot = jnp.clip(slot - slot_base, 0, Cl - 1)
+        taken = keys_new[lslot, 0] != _EMPTY
+        empty = (~taken) & mine
+        # arbitrate concurrent claims for one local slot by old-slot index
+        cbuf = jnp.full((Cl + 1,), jnp.int32(C))
+        cbuf = cbuf.at[jnp.where(empty, lslot, Cl)].min(
+            jnp.where(empty, iota, C))
+        win = empty & (cbuf[:Cl][lslot] == iota)
+        w = jnp.where(win, lslot, Cl)
+        keys_new = keys_new.at[w, :].set(keys_g, mode="drop")
+        row = jnp.concatenate(
+            [payload_g, jnp.ones((C, 1), payload_g.dtype)], axis=-1)
+        buf = buf.at[w, :].set(row, mode="drop")
+        die = jax.lax.psum(win.astype(jnp.int32), axis) > 0
+        advance = jax.lax.psum((mine & ~win).astype(jnp.int32), axis) > 0
+        alive = alive & ~die
+        offset = offset + (advance & alive).astype(jnp.int32)
+        return keys_new, buf, alive, offset, rnd + 1
+
+    keys_new, buf, _, _, _ = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (keys_new, buf, live_g, jnp.zeros((C,), jnp.int32), jnp.int32(0)))
+    return local_vm.replace(
+        keys=keys_new,
+        points=buf[:, :3],
+        intensity=buf[:, 3],
+        stat_n=buf[:, 4],
+        stat_sum=buf[:, 5:8],
+        stat_sq=buf[:, 8:14],
+        occupied=buf[:, 14],
+    )
+
+
+def shard_local_maybe_rehash(
+    local_vm: VoxelHashMap, axis: str, C: int, Cl: int,
+    tombstone_fraction: float = 0.1,
+) -> VoxelHashMap:
+    """Rehash when GLOBAL tombstones exceed `tombstone_fraction` of
+    capacity. The trigger count is psum'd, so every device takes the same
+    lax.cond branch — the collectives inside the rehash stay aligned."""
+    tombs_l = jnp.sum((local_vm.keys[:, 0] != _EMPTY)
+                      & (local_vm.occupied <= 0.5))
+    tombs = jax.lax.psum(tombs_l, axis)
+    return jax.lax.cond(
+        tombs > tombstone_fraction * C,
+        lambda v: shard_local_rehash(v, axis, C, Cl),
+        lambda v: v, local_vm)
+
+
 def sharded_map_insert(
     vmap: VoxelHashMap,
     mesh: Mesh,
@@ -215,6 +305,30 @@ def sharded_map_insert(
     return run(vmap, xyz, mask, intensity)
 
 
+def sharded_map_rehash(
+    vmap: VoxelHashMap,
+    mesh: Mesh,
+    axis: str = "dp",
+) -> VoxelHashMap:
+    """Host-level entry for the distributed rehash (see shard_local_rehash)."""
+    n_dev = mesh.shape[axis]
+    C = vmap.capacity
+    Cl = C // n_dev
+    map_specs = jax.tree.map(
+        lambda x: P(axis) if x.ndim == 1 else P(axis, None), vmap)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(map_specs,),
+        out_specs=map_specs,
+        check_vma=False,
+    )
+    def run(local_vm):
+        return shard_local_rehash(local_vm, axis, C, Cl)
+
+    return run(vmap)
+
+
 def shard_local_sector_stats(
     local_vm: VoxelHashMap,
     center: jnp.ndarray,
@@ -228,9 +342,14 @@ def shard_local_sector_stats(
     compacted to `per` rows. Pure local math (no collectives) — the union
     of all shards' rows equals the single-device
     voxel_map_sector_search_with_stats output set, row for row (the raw
-    [n, sum3, sq6] accumulators are compacted first, identical stats math).
-    Returns (points (per,3), mask (per,), local_count (), means (per,3),
-    covs_packed (per,6))."""
+    [n, sum3, sq6] accumulators are compacted first, identical stats math),
+    PROVIDED no shard overflows its quota. The per-shard quota `per` is
+    usually submap_max_points / n; voxels hash-distribute ~uniformly across
+    slot ranges but not exactly, so a hot shard past `per` sector voxels
+    drops its excess while other shards have slack — a truncation pattern
+    the single-device path (one global budget) doesn't have. Size `per`
+    with headroom when sector occupancy can approach the submap budget
+    (run_scan_to_map_distributed inherits this caveat)."""
     from icp4dradar_tpu.ops.compaction import mask_compact
 
     delta = local_vm.points - center

@@ -68,3 +68,59 @@ class TestDistributedPipeline:
         nonv = CFG.override(**{"gicp.use_vgicp": False})
         with pytest.raises(ValueError):
             run_scan_to_map_distributed(scans, mesh, nonv)
+        with pytest.raises(ValueError):
+            run_scan_to_map_distributed(scans, mesh, CFG, block=3)
+
+    def test_blocked_tracks_gt(self, mesh):
+        """Amortized map ops (one sector query / one insert per block of 8)
+        + const-velocity rotation prior keep tracking accuracy on the mesh
+        — the run_scan_to_map_blocked feature set, distributed."""
+        F = 32
+        scans, seq = _sequence(F)
+        _, outs = run_scan_to_map_distributed(
+            scans, mesh, CFG, block=8, use_const_velocity_rot=True)
+        Tb = np.asarray(outs["world_T"])
+        assert np.isfinite(Tb).all()
+        gt = seq.poses[:F, :3, 3]
+        ate = np.sqrt(np.mean(np.sum((Tb[:, :3, 3] - gt) ** 2, axis=-1)))
+        assert ate < 0.5, f"blocked distributed ATE {ate:.3f} m"
+
+    def test_long_run_maintenance_reclaims_tombstones(self, mesh):
+        """forget-far + the DISTRIBUTED rehash keep tombstone pressure
+        bounded over a long sharded run — without the rehash, dead keys
+        permanently consume slots and new territory stops inserting (the
+        single-device failure PERFORMANCE.md documents; the reference's
+        analog is the ikd-Tree rebuild thread, ikd_Tree.cpp:169-351)."""
+        F = 64
+        # wide arc (r = 40 m) inside the landmark field: the far side of
+        # the arc drifts >30 m behind the vehicle, so forget-far tombstones
+        # a steadily-growing trail while tracking stays well-conditioned
+        seq = SyntheticSequence(
+            num_frames=F, max_points=512, num_landmarks=2500,
+            world_extent=60.0, max_range=50.0, turn_rate=0.05, speed=1.5,
+            dynamic_fraction=0.05, pos_noise=0.01, seed=5)
+        scans = stack_scans([seq.scan(k) for k in range(F)])
+        cfg = CFG.override(**{
+            "voxel_map.forget_radius": 30.0,
+            "voxel_map.rehash_tombstone_fraction": 0.05,
+        })
+        vm, outs = run_scan_to_map_distributed(scans, mesh, cfg, block=8)
+        T = np.asarray(outs["world_T"])
+        assert np.isfinite(T).all()
+        gt = seq.poses[:F, :3, 3]
+        ate = np.sqrt(np.mean(np.sum((T[:, :3, 3] - gt) ** 2, axis=-1)))
+        assert ate < 1.5, f"maintained long-run ATE {ate:.3f} m"
+        keys = np.asarray(vm.keys)
+        occ = np.asarray(vm.occupied)
+        tombs = int(np.sum((keys[:, 0] != 0x7FFFFFFF) & (occ <= 0.5)))
+        C = keys.shape[0]
+        # the 96 m arc forgets the trail behind it; the rehash must have
+        # reclaimed those slots (trigger fraction 5% + at most one block
+        # of new tombstones)
+        assert tombs < 0.15 * C, f"{tombs} tombstones / {C} slots"
+        # and the final sector around the vehicle is still populated —
+        # inserts kept landing in fresh territory
+        final_p = T[-1, :3, 3]
+        pts = np.asarray(vm.points)[occ > 0.5]
+        near = np.sum(np.linalg.norm(pts - final_p, axis=-1) < 40.0)
+        assert near > 50, f"only {near} voxels near the final pose"

@@ -11,35 +11,7 @@ from icp4dradar_tpu.io import (
 )
 
 
-def write_synthetic_bag(path, seq, topic_radar="/radar", topic_gt="/gt",
-                        topic_imu="/imu", fmt="coloradar", hz=10.0):
-    from icp4dradar_tpu.geom.so3 import matrix_to_quat
-    import jax.numpy as jnp
-
-    w = RosbagWriter(path)
-    for k in range(len(seq)):
-        t = 1000.0 + k / hz
-        s = seq.scan(k)
-        rec = s.to_numpy_valid()  # (M,5) x y z intensity doppler
-        if fmt == "coloradar":
-            cols = {
-                "x": rec[:, 0], "y": rec[:, 1], "z": rec[:, 2],
-                "intensity": rec[:, 3], "doppler": rec[:, 4],
-                "range": np.linalg.norm(rec[:, :3], axis=-1),
-            }
-        elif fmt == "oculii":
-            cols = {
-                "x": rec[:, 0], "y": rec[:, 1], "z": rec[:, 2],
-                "Power": rec[:, 3], "Doppler": rec[:, 4],
-                "Range": np.linalg.norm(rec[:, :3], axis=-1),
-                "Alpha": np.zeros(len(rec), np.float32),
-                "Beta": np.zeros(len(rec), np.float32),
-            }
-        w.add_pointcloud2(topic_radar, t, cols)
-        q = np.asarray(matrix_to_quat(jnp.asarray(seq.poses[k][:3, :3])))
-        w.add_odometry(topic_gt, t + 0.01, seq.poses[k][:3, 3], q)
-        w.add_imu(topic_imu, t + 0.005, [0, 0, 0.01], [0, 0, -9.81])
-    w.close()
+from icp4dradar_tpu.io import write_synthetic_bag  # shared helper (io/synthetic_bag.py)
 
 
 @pytest.fixture(scope="module")
@@ -81,9 +53,12 @@ class TestRosbagRoundtrip:
         np.testing.assert_allclose(T3, seq.poses[3], atol=1e-5)
 
     def test_imu_decoding(self, bag):
-        path, _ = bag
+        path, seq = bag
         msgs = [m for t, m, _ in RosbagReader(path).read_messages(["/imu"])]
-        np.testing.assert_allclose(msgs[0].angular_velocity, [0, 0, 0.01], atol=1e-7)
+        # the writer encodes the GT yaw rate (turn_rate * hz) as the gyro z
+        np.testing.assert_allclose(
+            msgs[0].angular_velocity, [0, 0, seq.turn_rate * 10.0],
+            atol=1e-5)
         np.testing.assert_allclose(msgs[0].linear_acceleration, [0, 0, -9.81], atol=1e-6)
 
     def test_not_a_bag_raises(self, tmp_path):

@@ -6,11 +6,16 @@ import numpy as np
 import pytest
 
 from icp4dradar_tpu.mapping import voxel_map_create, voxel_map_insert
-from icp4dradar_tpu.mapping.voxel_hash import voxel_map_sector_search_with_stats
+from icp4dradar_tpu.mapping.voxel_hash import (
+    voxel_map_forget_far,
+    voxel_map_rehash,
+    voxel_map_sector_search_with_stats,
+)
 from icp4dradar_tpu.parallel import (
     make_mesh,
     sharded_map_create,
     sharded_map_insert,
+    sharded_map_rehash,
     sharded_sector_search_with_stats,
 )
 
@@ -57,6 +62,31 @@ class TestShardedInsert:
         sm = sharded_map_insert(sm, mesh, jnp.asarray(b))
 
         assert occupied_voxel_dict(sm) == occupied_voxel_dict(ref)
+
+    def test_sharded_rehash_matches_single_device(self, mesh, rng):
+        """forget-far -> rehash on the sharded map reclaims tombstones and
+        lands every live voxel in the same global slot as the single-device
+        voxel_map_rehash (identical claim arbitration order)."""
+        pts = rng.uniform(-30, 30, (800, 3)).astype(np.float32)
+
+        ref = voxel_map_create(capacity=1 << 12, voxel_size=0.5)
+        ref = voxel_map_insert(ref, jnp.asarray(pts))
+        ref = voxel_map_forget_far(ref, jnp.zeros(3), 12.0)
+        ref = voxel_map_rehash(ref)
+
+        sm = sharded_map_create(mesh, capacity=1 << 12, voxel_size=0.5)
+        sm = sharded_map_insert(sm, mesh, jnp.asarray(pts))
+        sm = voxel_map_forget_far(sm, jnp.zeros(3), 12.0)  # elementwise
+        sm = sharded_map_rehash(sm, mesh)
+
+        # all tombstones released
+        tombs = np.sum((np.asarray(sm.keys)[:, 0] != 0x7FFFFFFF)
+                       & (np.asarray(sm.occupied) <= 0.5))
+        assert tombs == 0
+        assert occupied_voxel_dict(sm) == occupied_voxel_dict(ref)
+        # slot-exact layout equality (same arbitration order)
+        np.testing.assert_array_equal(np.asarray(sm.keys),
+                                      np.asarray(ref.keys))
 
     def test_sharded_sector_query(self, mesh, rng):
         pts = rng.uniform(-15, 15, (400, 3)).astype(np.float32)
