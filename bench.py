@@ -49,12 +49,8 @@ def main() -> int:
 
     # persistent compilation cache: repeated bench invocations (the driver
     # runs this every round) skip the slow tunnel compile
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/icp4dradar_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from icp4dradar_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache(min_compile_secs=5)
 
     from icp4dradar_tpu.config import PipelineConfig
     from icp4dradar_tpu.io import SyntheticSequence

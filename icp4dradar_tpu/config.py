@@ -121,6 +121,17 @@ class GicpConfig:
     sigma_range: float = 0.1         # radar radial std [m]
     sigma_azimuth: float = 0.01      # radar azimuth std [rad]
     sigma_elevation: float = 0.02    # radar elevation std [rad]
+    # kNN GICP path only: source the submap's covariance neighborhoods from
+    # the EXACT whole-map k-NN (mapping.voxel_map_knn_exact — the kd-tree
+    # Nearest_Search semantics, ikd_Tree.cpp:368-398, with the
+    # MAX_SEARCH_RADIUS=2.0 gate) instead of k-NN within the compacted
+    # sector submap. Default False is the reference-faithful behavior:
+    # fast_gicp computes target covariances over exactly the submap cloud
+    # it aligns against (src/radar_odometry.cpp:399-406), and the sector
+    # query already returns every in-sector voxel, so submap-local k-NN
+    # sees the same neighborhoods except at sector edges. True removes
+    # that edge effect at the cost of a whole-map chunked-gather sweep.
+    use_exact_map_knn: bool = False
 
 
 @dataclass(frozen=True)

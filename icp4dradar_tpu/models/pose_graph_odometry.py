@@ -18,6 +18,7 @@ Flow:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -63,6 +64,40 @@ def _relative_between(odom: np.ndarray, a_idx: np.ndarray,
     return out
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_s2s_front_end(cfg: PipelineConfig):
+    """One compiled front-end per config — repeated pipeline calls on the
+    same shapes (containment re-gate, tests, eval rows) reuse it instead
+    of re-dispatching the whole vmapped RANSAC+ICP eagerly."""
+    return jax.jit(
+        lambda s: run_scan_to_scan(s, cfg, use_doppler_prior=True).world_T)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_s2m_front_end(cfg: PipelineConfig, block: int):
+    from icp4dradar_tpu.models.scan_to_map import (
+        run_scan_to_map,
+        run_scan_to_map_blocked,
+    )
+
+    if block > 1:
+        return jax.jit(lambda s: run_scan_to_map_blocked(
+            s, cfg, block=block, use_const_velocity_rot=True)[1].world_T)
+    return jax.jit(lambda s: run_scan_to_map(s, cfg)[1].world_T)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_loop_icp(icp_cfg):
+    from icp4dradar_tpu.registration.icp import icp_point_to_point
+
+    def one(s_xyz, s_mask, t_xyz, t_mask, T0):
+        r = icp_point_to_point(s_xyz, t_xyz, s_mask, t_mask,
+                               init_transform=T0, cfg=icp_cfg)
+        return r.transform, r.gated_fitness, r.inlier_fraction
+
+    return jax.jit(jax.vmap(one))
+
+
 def run_pose_graph_odometry(
     scans: RadarScan,
     cfg: PipelineConfig = PipelineConfig(),
@@ -77,9 +112,27 @@ def run_pose_graph_odometry(
     mesh=None,
     front_end: str = "scan_to_scan",
     structure_factors: bool = False,
+    loop_residual_gate_t: float = 2.0,
+    loop_residual_gate_r_deg: float = 10.0,
+    inject_loop_factors=None,
 ) -> PoseGraphOdometryResult:
     """Full pipeline. Pass a `mesh` to run the GN back-end distributed
     (parallel.distributed_optimize_pose_graph); None = single device.
+
+    Wrong-closure containment: after the first optimization, every loop
+    factor's relative-pose residual at the REFINED keyframes is checked
+    against (loop_residual_gate_t [m], loop_residual_gate_r_deg); factors
+    exceeding either gate are dropped and the optimization restarts from
+    the odometry keyframes. Huber alone only dampens a bogus closure (a
+    10 m fabrication still dragged keyframe ATE 0.8 -> 4.7 m in testing);
+    the residual re-gate removes it outright, while legitimate closures —
+    whose residuals the optimizer can drive to ~0 — always survive. Set
+    gates to inf for the single-pass behavior.
+
+    `inject_loop_factors`: list of (kf_i, kf_j, T_meas (4,4), weight)
+    appended UNVERIFIED to the factor set — a fault-injection hook for
+    validating the containment path (scripts/eval_suite.py wrong-closure
+    row).
 
     `front_end`: "scan_to_scan" (pairwise ICP, the icp4radar lineage) or
     "scan_to_map" (VGICP map tracking — lower-drift odometry in, loop
@@ -95,21 +148,12 @@ def run_pose_graph_odometry(
     construction) cannot move anything."""
     F = scans.xyz.shape[0]
     if front_end == "scan_to_map":
-        from icp4dradar_tpu.models.scan_to_map import (
-            run_scan_to_map,
-            run_scan_to_map_blocked,
-        )
-
         block = 8
-        if F > block and (F - block) % block == 0:
-            _, m_outs = run_scan_to_map_blocked(
-                scans, cfg, block=block, use_const_velocity_rot=True)
-        else:
-            _, m_outs = run_scan_to_map(scans, cfg)
-        odom = np.asarray(m_outs.world_T)
+        if not (F > block and (F - block) % block == 0):
+            block = 0
+        odom = np.asarray(_jitted_s2m_front_end(cfg, block)(scans))
     elif front_end == "scan_to_scan":
-        outs = run_scan_to_scan(scans, cfg, use_doppler_prior=True)
-        odom = np.asarray(outs.world_T)
+        odom = np.asarray(_jitted_s2s_front_end(cfg)(scans))
     else:
         raise ValueError(f"unknown front_end: {front_end!r}")
 
@@ -156,13 +200,8 @@ def run_pose_graph_odometry(
             transformation_epsilon=1e-5,
         )
 
-        def one(s, t, T0):
-            r = icp_point_to_point(
-                s.xyz, t.xyz, s.mask, t.mask, init_transform=T0, cfg=loop_cfg
-            )
-            return r.transform, r.gated_fitness, r.inlier_fraction
-
-        T_loop, fit, frac = jax.vmap(one)(src, tgt, init_T)
+        T_loop, fit, frac = _jitted_loop_icp(loop_cfg)(
+            src.xyz, src.mask, tgt.xyz, tgt.mask, init_T)
         T_loop = np.asarray(T_loop)
         fit = np.asarray(fit)
         frac = np.asarray(frac)
@@ -175,6 +214,34 @@ def run_pose_graph_odometry(
         f_T = np.concatenate([f_T, T_loop[acc].astype(np.float32)])
         f_w = np.concatenate(
             [f_w, np.full(n_loops, loop_weight, np.float32)])
+
+    if inject_loop_factors:
+        # fault-injection hook: unverified loop factors straight into the
+        # factor set (the containment re-gate below must catch the bad ones)
+        for (ki, kj, Tm, wt) in inject_loop_factors:
+            fi = np.concatenate([fi, [np.int32(ki)]])
+            fj = np.concatenate([fj, [np.int32(kj)]])
+            f_T = np.concatenate([f_T, np.asarray(Tm, np.float32)[None]])
+            f_w = np.concatenate([f_w, [np.float32(wt)]])
+            n_loops += 1
+
+    n_chain = K - 1
+
+    def loop_residuals(kf_poses: np.ndarray):
+        """(t_err (L,), r_err_deg (L,)) of the loop factors (entries past
+        the chain) at the given keyframe poses."""
+        li, lj = fi[n_chain:], fj[n_chain:]
+        Tm = f_T[n_chain:]
+        rel_ij = _relative_between(kf_poses, li, lj)
+        # E = Tm^-1 rel_ij, closed form
+        Rmt = np.swapaxes(Tm[:, :3, :3], -1, -2)
+        Re = np.einsum("kij,kjl->kil", Rmt, rel_ij[:, :3, :3])
+        te = np.einsum("kij,kj->ki", Rmt,
+                       rel_ij[:, :3, 3] - Tm[:, :3, 3])
+        t_err = np.linalg.norm(te, axis=-1)
+        cos = np.clip((np.trace(Re, axis1=-2, axis2=-1) - 1.0) * 0.5,
+                      -1.0, 1.0)
+        return t_err, np.degrees(np.arccos(cos))
 
     # frame -> owning-keyframe segment, once (frames before kf[0] can't
     # exist since kf[0] == 0)
@@ -233,20 +300,16 @@ def run_pose_graph_odometry(
             out["points"] = points
         return out
 
-    result_cost = 0.0
-    kf_refined = kf_odom
-    if len(fi):
-        rel = RelPoseFactors.build(
-            np.asarray(fi, np.int32), np.asarray(fj, np.int32),
-            np.asarray(f_T, np.float32), np.asarray(f_w, np.float32),
-        )
-        frames_cur = odom
+    def run_rounds(rel, kf_start):
+        kf_cur = kf_start
+        frames_cur = reanchor(kf_cur)
+        cost_out = 0.0
         rounds = cfg.structure.rounds if structure_factors else 1
         for _ in range(rounds):
             struct_factors = (
-                mine_structure_factors(frames_cur, kf_refined)
+                mine_structure_factors(frames_cur, kf_cur)
                 if structure_factors else {})
-            graph = PoseGraph(poses=jnp.asarray(kf_refined), rel=rel,
+            graph = PoseGraph(poses=jnp.asarray(kf_cur), rel=rel,
                               **struct_factors)
             if mesh is not None:
                 # O(K) distributed back-end: block-tridiagonal assembly is
@@ -266,9 +329,57 @@ def run_pose_graph_odometry(
                 # 6Kx6K path is O(K^2) memory — equality-tested against it
                 # (tests/test_graph.py::TestBlockSolver)
                 graph, cost = optimize_pose_graph_block(graph, cfg.pose_graph)
-            kf_refined = np.asarray(graph.poses)
-            result_cost = float(cost)
-            frames_cur = reanchor(kf_refined)
+            kf_cur = np.asarray(graph.poses)
+            cost_out = float(cost)
+            frames_cur = reanchor(kf_cur)
+        return kf_cur, cost_out
+
+    result_cost = 0.0
+    kf_refined = kf_odom
+    if len(fi):
+        if n_loops and (np.isfinite(loop_residual_gate_t)
+                        or np.isfinite(loop_residual_gate_r_deg)):
+            # wrong-closure containment, GATING PASS: optimize once with
+            # every loop factor's weight capped uniformly LOW (chain keeps
+            # full information weight). No single closure can dominate, so
+            # the solution stays near the chain + the mutually-consistent
+            # closure majority; a bogus factor then shows its full residual
+            # instead of being satisfied at the legit factors' expense
+            # (measured: a confident weight-100 fabrication is driven to
+            # ~0 residual by the plain optimize while dragging keyframes
+            # meters — gating at that solution removes the WRONG factors).
+            # Residuals at the gating solution separate cleanly: legit
+            # closures sit at ~odometry drift, fabrications at their
+            # fabricated offset.
+            w_gate = np.asarray(f_w, np.float32).copy()
+            w_gate[n_chain:] = np.minimum(w_gate[n_chain:],
+                                          odom_weight * 0.01)
+            rel_gate = RelPoseFactors.build(fi, fj, f_T, w_gate)
+            graph_g = PoseGraph(poses=jnp.asarray(kf_odom), rel=rel_gate)
+            if mesh is not None:
+                from icp4dradar_tpu.parallel import (
+                    distributed_optimize_pose_graph_block,
+                )
+
+                graph_g, _ = distributed_optimize_pose_graph_block(
+                    graph_g, mesh, cfg.pose_graph)
+            else:
+                graph_g, _ = optimize_pose_graph_block(
+                    graph_g, cfg.pose_graph)
+            t_err, r_err = loop_residuals(np.asarray(graph_g.poses))
+            bad = ((t_err > loop_residual_gate_t)
+                   | (r_err > loop_residual_gate_r_deg))
+            if bad.any():
+                keep = np.concatenate([np.ones(n_chain, bool), ~bad])
+                n_loops = int((~bad).sum())
+                fi, fj = fi[keep], fj[keep]
+                f_T, f_w = f_T[keep], f_w[keep]
+
+        rel = RelPoseFactors.build(
+            np.asarray(fi, np.int32), np.asarray(fj, np.int32),
+            np.asarray(f_T, np.float32), np.asarray(f_w, np.float32),
+        )
+        kf_refined, result_cost = run_rounds(rel, kf_odom)
 
     poses = reanchor(kf_refined)
 

@@ -171,7 +171,24 @@ def scan_to_map_step(
             vmap, pose[:3, 3], vmcfg.sector_radius, heading,
             vmcfg.sector_half_angle_deg, vmcfg.submap_max_points,
         )
-        g = gicp_align(world_pts, submap, inlier_mask, submask, cfg=cfg.gicp)
+        tgt_cov = None
+        if cfg.gicp.use_exact_map_knn:
+            # whole-map exact k-NN neighborhoods for the submap's
+            # covariances (kd-tree Nearest_Search semantics incl. the
+            # 2.0 m gate) — removes the sector-edge truncation of
+            # submap-local k-NN; see GicpConfig.use_exact_map_knn
+            from icp4dradar_tpu.mapping import voxel_map_knn_exact
+            from icp4dradar_tpu.registration.gicp import (
+                covariances_from_neighbors,
+            )
+
+            d2n, pn = voxel_map_knn_exact(
+                vmap, submap, cfg.gicp.k_correspondences,
+                max_dist=cfg.gicp.max_correspondence_dist)
+            tgt_cov = covariances_from_neighbors(
+                submap, pn, jnp.isfinite(d2n), cfg.gicp.cov_epsilon)
+        g = gicp_align(world_pts, submap, inlier_mask, submask,
+                       cfg=cfg.gicp, tgt_cov=tgt_cov)
         new_T = g.transform @ pose              # left-compose (ref :412)
 
     insert_mask = inlier_mask

@@ -5,6 +5,7 @@ Gauss-Newton with psum collectives, spatially-sharded map queries."""
 
 from icp4dradar_tpu.parallel.mesh import make_mesh, device_count  # noqa: F401
 from icp4dradar_tpu.parallel.distributed_gn import (  # noqa: F401
+    distributed_block_normal_equations,
     distributed_normal_equations,
     distributed_optimize_pose_graph,
     distributed_optimize_pose_graph_block,

@@ -186,6 +186,56 @@ def distributed_optimize_pose_graph(
 
 
 @functools.lru_cache(maxsize=32)
+def _cached_assemble_block(mesh: Mesh, cfg: PoseGraphConfig, axis: str,
+                           kinds: Tuple[str, ...], has_chain: bool):
+    """shard_map'd one-shot BLOCK normal-equation assembly (sharded factor
+    work + O(K) psum, no solve) — the per-stage timing hook the weak-scaling
+    bench uses to separate sharded assembly from the replicated PCG floor."""
+    from icp4dradar_tpu.graph.block_solver import block_normal_equations
+
+    def assemble(poses, fdict, chain):
+        local = PoseGraph(poses=poses, **fdict)
+        ne = block_normal_equations(local, chain, None, cfg)
+        return (jax.lax.psum(ne.diag, axis), jax.lax.psum(ne.off, axis),
+                jax.lax.psum(ne.g, axis), jax.lax.psum(ne.cost, axis))
+
+    def build(poses, fdict, chain):
+        shard = jax.shard_map(
+            assemble, mesh=mesh,
+            in_specs=(P(), _shard_specs(fdict, axis),
+                      jax.tree.map(lambda _: P(axis), chain)),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False)
+        return shard(poses, fdict, chain)
+
+    return jax.jit(build)
+
+
+def distributed_block_normal_equations(
+    graph: PoseGraph,
+    mesh: Mesh,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+    axis: str = "dp",
+):
+    """Assembly stage of the O(K) distributed block GN, alone: sharded
+    per-factor block assembly + psum of the (K,6,6)/(K-1,6,6)/(K,6)
+    structure. Returns (diag, off, g, cost) replicated. Loop factors are
+    excluded (they replicate in the full solver and add no sharded work)."""
+    from icp4dradar_tpu.graph.block_solver import split_chain_loops
+
+    n = mesh.shape[axis]
+    chain, _ = split_chain_loops(graph.rel)
+    graph = graph.replace(rel=None)
+    graph = pad_factors_for_mesh(graph, n)
+    if chain is not None:
+        chain = _pad_container(chain, n)
+    fdict = _factor_dict(graph)
+    assemble = _cached_assemble_block(
+        mesh, cfg, axis, tuple(sorted(fdict)), chain is not None)
+    return assemble(graph.poses, fdict, chain)
+
+
+@functools.lru_cache(maxsize=32)
 def _cached_optimize_block(mesh: Mesh, cfg: PoseGraphConfig, axis: str,
                            kinds: Tuple[str, ...], has_chain: bool,
                            has_loops: bool):

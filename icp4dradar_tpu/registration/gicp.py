@@ -43,6 +43,31 @@ class GicpResult:
     iterations: jnp.ndarray  # () int32
 
 
+def covariances_from_neighbors(
+    queries: jnp.ndarray,
+    neigh: jnp.ndarray,
+    valid: jnp.ndarray,
+    cov_epsilon: float = 1e-3,
+) -> jnp.ndarray:
+    """(N,3,3) plane-regularized covariances from explicit neighborhoods.
+
+    queries (N,3), neigh (N,k,3), valid (N,k) bool — invalid neighbor slots
+    fall back to the query point. FastGICP's eigenvalue regularization
+    (1, 1, eps) in closed form: I - (1-eps) n n^T with n the surface normal
+    (smallest eigenvector — no LAPACK eigh, ~0.2 ms/dispatch of control
+    flow on TPU; docs/PERFORMANCE.md rule 2)."""
+    dtype = queries.dtype
+    neigh = jnp.where(valid[..., None], neigh, queries[:, None, :])
+    wk = valid.astype(dtype)
+    nk = jnp.maximum(jnp.sum(wk, axis=-1, keepdims=True), 1.0)
+    mu = jnp.sum(neigh * wk[..., None], axis=-2) / nk
+    c = (neigh - mu[:, None, :]) * wk[..., None]
+    cov = jnp.einsum("nki,nkj->nij", c, c) / nk[..., None]
+    n = _smallest_eigvec3(cov)
+    eye = jnp.eye(3, dtype=dtype)
+    return eye - (1.0 - cov_epsilon) * n[..., :, None] * n[..., None, :]
+
+
 def point_covariances(
     xyz: jnp.ndarray,
     mask: jnp.ndarray,
@@ -58,20 +83,7 @@ def point_covariances(
     idx, d2 = knn(xyz, xyz, k, mask)
     neigh = xyz[idx]                                   # (N,k,3)
     # neighbors marked invalid (huge d2) fall back to the point itself
-    valid = (d2 < 1e20)[..., None]
-    neigh = jnp.where(valid, neigh, xyz[:, None, :])
-    wk = valid[..., 0].astype(xyz.dtype)
-    nk = jnp.maximum(jnp.sum(wk, axis=-1, keepdims=True), 1.0)
-    mu = jnp.sum(neigh * wk[..., None], axis=-2) / nk
-    c = (neigh - mu[:, None, :]) * wk[..., None]
-    cov = jnp.einsum("nki,nkj->nij", c, c) / nk[..., None]
-    # Plane regularization V diag(eps,1,1) V^T == I - (1-eps) n n^T with n
-    # the surface normal (smallest eigenvector) — closed form, no LAPACK
-    # eigh (~0.2 ms/dispatch of control flow on TPU; docs/PERFORMANCE.md
-    # rule 2).
-    n = _smallest_eigvec3(cov)
-    eye = jnp.eye(3, dtype=xyz.dtype)
-    return eye - (1.0 - cov_epsilon) * n[..., :, None] * n[..., None, :]
+    return covariances_from_neighbors(xyz, neigh, d2 < 1e20, cov_epsilon)
 
 
 def gicp_align(

@@ -11,7 +11,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/icp4dradar_jax_cache")
+    from icp4dradar_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import numpy as np
 

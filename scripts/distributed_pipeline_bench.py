@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Throughput of the end-to-end distributed scan-to-map pipeline
+(parallel/distributed_pipeline.py) across mesh sizes.
+
+Virtual-mesh caveat (same methodology as weak_scaling_bench.py): all N
+virtual CPU devices share this host's ~2 cores, so wall-clock cannot
+improve with N — the honest reading of the n>1 rows is OVERHEAD: how much
+the collectives + sharded structure cost relative to n=1 on identical
+hardware resources. On real chips each device has private compute and the
+same program's scaling is bounded by the per-frame collective payload
+(O(scan + submap/n), measured here as the n-row deltas).
+
+Rows: per-frame mode and blocked mode (block=8, const-velocity rotation
+prior) — the blocked rows show the map-op amortization that took the
+single-device path 196 -> ~435 scans/s (docs/PERFORMANCE.md).
+
+Usage:
+  python scripts/distributed_pipeline_bench.py                 # virtual mesh
+  python scripts/distributed_pipeline_bench.py --tpu           # n=1 real chip
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _best_of(fn, n=3):
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--block", type=int, default=8)
+    p.add_argument("--points", type=int, default=1024)
+    p.add_argument("--tpu", action="store_true",
+                   help="run n=1 on the real TPU chip instead of the "
+                        "virtual CPU mesh")
+    args = p.parse_args(argv)
+
+    if args.tpu:
+        args.devices = [1]
+    else:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                        f"{max(args.devices)}").strip()
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    from icp4dradar_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache(min_compile_secs=5)
+    import numpy as np
+
+    from icp4dradar_tpu.config import PipelineConfig
+    from icp4dradar_tpu.io import SyntheticSequence
+    from icp4dradar_tpu.io.scan import stack_scans
+    from icp4dradar_tpu.parallel import make_mesh, run_scan_to_map_distributed
+
+    F = args.frames
+    cfg = PipelineConfig().override(**{
+        "max_points": args.points,
+        "voxel_map.capacity": 1 << 15,
+        "voxel_map.submap_max_points": 1 << 12,
+    })
+    seq = SyntheticSequence(
+        num_frames=F, max_points=args.points, num_landmarks=5000,
+        world_extent=120.0, max_range=80.0, speed=1.0, turn_rate=0.03,
+        dynamic_fraction=0.1, pos_noise=0.02, seed=0)
+    scans = stack_scans([seq.scan(k) for k in range(F)])
+    gt = seq.poses[:F, :3, 3]
+    ncores = os.cpu_count() or 1
+
+    out = {
+        "bench": "distributed_pipeline_r3",
+        "backend": jax.default_backend(),
+        "environment": (
+            f"{'real TPU chip' if args.tpu else f'virtual CPU mesh on {ncores} host cores'}"
+            " — n>1 rows measure collective/sharding OVERHEAD on shared"
+            " cores, not speedup (see docstring)"),
+        "frames": F, "points_per_scan": args.points,
+        "results": [],
+    }
+    for n in args.devices:
+        if n > len(jax.devices()):
+            continue
+        mesh = make_mesh(n)
+        for mode, kw in (("per-frame", {}),
+                         ("blocked", dict(block=args.block,
+                                          use_const_velocity_rot=True))):
+            vm, o = run_scan_to_map_distributed(scans, mesh, cfg, **kw)
+            jax.block_until_ready(o["world_T"])
+            dt = _best_of(lambda kw=kw, mesh=mesh: jax.block_until_ready(
+                run_scan_to_map_distributed(scans, mesh, cfg, **kw)[1]
+                ["world_T"]))
+            T = np.asarray(o["world_T"])
+            ate = float(np.sqrt(np.mean(
+                np.sum((T[:, :3, 3] - gt) ** 2, axis=-1))))
+            row = {
+                "devices": n, "mode": mode,
+                "scans_per_s": round(F / dt, 1),
+                "ms_per_frame": round(dt * 1e3 / F, 2),
+                "ate_m": round(ate, 4),
+            }
+            out["results"].append(row)
+            print(f"n={n} {mode}: {row['scans_per_s']} scans/s "
+                  f"(ATE {row['ate_m']} m)", file=sys.stderr)
+
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

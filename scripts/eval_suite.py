@@ -45,6 +45,8 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--out", default="docs")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="scale down the fixed-size sections (CPU smoke)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -52,8 +54,8 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/icp4dradar_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from icp4dradar_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache(min_compile_secs=5)
     import numpy as np
 
     from icp4dradar_tpu.config import PipelineConfig
@@ -176,9 +178,133 @@ def main() -> int:
           f"({loop_row['num_loop_closures']} loop closures)",
           file=sys.stderr)
 
+    # ---- multi-revisit scenario: figure-eight, repeated passes through
+    # the crossing give MANY verifiable closures (the reference's dormant
+    # Ceres factors put to work at scale, include/radarFactor.hpp) ----
+    F8 = 64 if args.quick else 128
+    H = F8 // 2
+    # fixed 64-frame lap period: the same ~5.6 deg/frame turn the tracked
+    # closed-loop scenario uses (faster laps break s2s odometry outright;
+    # --quick then traces half-laps instead of turning harder)
+    w8 = 2 * 3.14159265 / 64.0
+    schedule = np.concatenate([np.full(H, w8), np.full(F8 - H, -w8)])
+    fig8_seq = SyntheticSequence(
+        num_frames=F8, max_points=2048, num_landmarks=6000,
+        world_extent=140.0, max_range=80.0, seed=0,
+        speed=2.0, dynamic_fraction=0.1, pos_noise=0.03,
+        turn_schedule=schedule)
+    fig8_scans = jax.device_put(
+        stack_scans([fig8_seq.scan(k) for k in range(F8)]))
+    jax.block_until_ready(fig8_scans.xyz)
+    res8 = run_pose_graph_odometry(fig8_scans, cfg, keyframe_every=4,
+                                   loop_radius=8.0, min_loop_gap=20,
+                                   max_loop_candidates=24)
+    gt8 = np.asarray(fig8_seq.poses[:F8])
+    fig8_row = {
+        "scenario": "figure-eight",
+        "frames": F8,
+        "odom_ate_m": round(ate_rmse(res8.odom_poses[:, :3, 3],
+                                     gt8[:, :3, 3], align=False), 4),
+        "refined_ate_m": round(ate_rmse(res8.poses[:, :3, 3],
+                                        gt8[:, :3, 3], align=False), 4),
+        "num_loop_closures": int(res8.num_loop_closures),
+    }
+    print(f"figure-eight: odometry ATE {fig8_row['odom_ate_m']} m -> "
+          f"pose-graph ATE {fig8_row['refined_ate_m']} m "
+          f"({fig8_row['num_loop_closures']} loop closures)",
+          file=sys.stderr)
+
+    # ---- wrong-closure injection (PIPELINE level): a fabricated 10 m-off
+    # closure enters the factor set unverified; the residual re-gate
+    # (models/pose_graph_odometry.py: optimize -> gate loop residuals ->
+    # reoptimize) must drop it — Huber alone was measured to let it drag
+    # keyframe ATE 0.8 -> 4.7 m ----
+    kf = res8.keyframe_indices
+    K = len(kf)
+    kf_odom = res8.odom_poses[kf]
+    wrong_T = np.linalg.inv(kf_odom[2]) @ kf_odom[K - 4]
+    wrong_T[:3, 3] += np.asarray([10.0, 0.0, 0.0])
+    res_w = run_pose_graph_odometry(
+        fig8_scans, cfg, keyframe_every=4, loop_radius=8.0, min_loop_gap=20,
+        max_loop_candidates=24,
+        inject_loop_factors=[(2, K - 4, wrong_T, 10.0)])
+    ate_clean = fig8_row["refined_ate_m"]
+    ate_inj = round(ate_rmse(res_w.poses[:, :3, 3], gt8[:, :3, 3],
+                             align=False), 4)
+    wrong_row = {
+        "scenario": "wrong-closure-injection",
+        "keyframes": int(K),
+        "injected_offset_m": 10.0,
+        "refined_ate_clean_m": ate_clean,
+        "refined_ate_injected_m": ate_inj,
+        "surviving_loop_closures": int(res_w.num_loop_closures),
+        "contained": bool(ate_inj < ate_clean + 0.5),
+    }
+    print(f"wrong-closure: refined ATE {ate_clean} m (clean) vs {ate_inj} m "
+          f"with a 10 m bogus closure injected "
+          f"(contained={wrong_row['contained']}, "
+          f"{wrong_row['surviving_loop_closures']} closures survive the "
+          f"re-gate)", file=sys.stderr)
+
+    # ---- structure factors at eval level: keyframe-to-map line/plane/point
+    # factors mined from map Gaussians (graph/structure_factors.py) ----
+    res_sf = run_pose_graph_odometry(
+        fig8_scans, cfg, keyframe_every=4, loop_radius=8.0, min_loop_gap=20,
+        max_loop_candidates=24, structure_factors=True)
+    sf_row = {
+        "scenario": "figure-eight+structure-factors",
+        "frames": F8,
+        "refined_ate_m": round(ate_rmse(res_sf.poses[:, :3, 3],
+                                        gt8[:, :3, 3], align=False), 4),
+        "vs_between_only_ate_m": fig8_row["refined_ate_m"],
+        "num_loop_closures": int(res_sf.num_loop_closures),
+    }
+    print(f"structure-factors: refined ATE {sf_row['refined_ate_m']} m "
+          f"(between-only {fig8_row['refined_ate_m']} m)", file=sys.stderr)
+
+    # ---- full-stack bag anchor: ColoRadar-statistics lz4 bag -> native
+    # loader -> vendor adapter -> scan_to_map front-end -> pose graph ->
+    # trajectory dumps, via the CLI (the reference's replay path,
+    # launch/radar_odometry.launch:6-9) ----
+    import tempfile
+
+    from icp4dradar_tpu.io import write_synthetic_bag
+    from icp4dradar_tpu.models import run_odometry as cli
+
+    bag_row = {"scenario": "coloradar-lz4-bag-cli"}
+    with tempfile.TemporaryDirectory() as td:
+        bag_seq = SyntheticSequence(
+            num_frames=24 if args.quick else 64, max_points=2048, num_landmarks=8000,
+            world_extent=150.0, max_range=80.0, seed=0,
+            speed=1.0, turn_rate=0.03, dynamic_fraction=0.1,
+            pos_noise=0.02, vendor_profile="coloradar")
+        bag_path = os.path.join(td, "coloradar_synth.bag")
+        write_synthetic_bag(bag_path, bag_seq, fmt="coloradar",
+                            compression="lz4")
+        outdir = os.path.join(td, "out")
+        rc = cli.main([
+            "--bag", bag_path, "--topic-radar", "/radar",
+            "--topic-gt", "/gt", "--topic-imu", "/imu",
+            "--mode", "pose_graph", "--front-end", "scan_to_map",
+            "--structure-factors", "--out", outdir,
+        ] + (["--cpu"] if args.cpu else []))
+        assert rc == 0
+        with open(os.path.join(outdir, "metrics.jsonl")) as f:
+            recs = [json.loads(ln) for ln in f if ln.strip()]
+        done = [r for r in recs if r.get("event") == "run_complete"]
+        pg = [r for r in recs if r.get("event") == "pose_graph"]
+        bag_row.update({
+            "frames": done[-1]["frames"] if done else None,
+            "ate_rmse_m": done[-1].get("ate_rmse_m") if done else None,
+            "scans_per_sec": done[-1].get("scans_per_sec") if done else None,
+            "loop_closures": pg[-1].get("loop_closures") if pg else None,
+            "outputs": sorted(os.listdir(outdir)),
+        })
+    print(f"bag CLI: {bag_row}", file=sys.stderr)
+
     # ---- long-horizon scenario: 512 frames, sparse world (the regime that
     # exposed the tracking-gate failure mode; docs/PERFORMANCE.md) ----
-    FL = 512
+    FL = 128 if args.quick else 512
     long_seq = SyntheticSequence(
         num_frames=FL, max_points=2048, num_landmarks=40000,
         world_extent=400.0, max_range=80.0, seed=0,
@@ -241,7 +367,9 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "eval_results.json"), "w") as f:
         json.dump({"frames": F, "rows": rows, "vendor": vendor_rows,
-                   "loop": loop_row, "long": long_row,
+                   "loop": loop_row, "fig8": fig8_row,
+                   "wrong_closure": wrong_row, "structure": sf_row,
+                   "bag_cli": bag_row, "long": long_row,
                    "s2s_long": s2s_long}, f, indent=1)
 
     md = [
@@ -287,6 +415,32 @@ def main() -> int:
         f"ATE {loop_row['odom_ate_m']} m -> pose-graph refined ATE "
         f"{loop_row['refined_ate_m']} m with "
         f"{loop_row['num_loop_closures']} ICP-verified loop closures.",
+        "",
+        f"**Figure-eight multi-revisit** ({fig8_row['frames']} frames, two "
+        f"opposite-turn laps through a shared crossing): odometry ATE "
+        f"{fig8_row['odom_ate_m']} m -> refined "
+        f"{fig8_row['refined_ate_m']} m with "
+        f"{fig8_row['num_loop_closures']} accepted closures; with "
+        f"keyframe-to-map structure factors (line/plane/point mined from "
+        f"map Gaussians): {sf_row['refined_ate_m']} m.",
+        "",
+        f"**Wrong-closure injection** ({wrong_row['keyframes']} keyframes): "
+        f"a fabricated closure displaced "
+        f"{wrong_row['injected_offset_m']} m, injected unverified, leaves "
+        f"refined ATE at {wrong_row['refined_ate_injected_m']} m vs "
+        f"{wrong_row['refined_ate_clean_m']} m clean — the optimize->"
+        f"residual-gate->reoptimize pass drops it "
+        f"(contained: {wrong_row['contained']}; "
+        f"{wrong_row['surviving_loop_closures']} legitimate closures "
+        f"survive).",
+        "",
+        f"**Full-stack bag replay** (ColoRadar-statistics lz4 bag through "
+        f"the CLI: native loader -> vendor adapter -> scan-to-map "
+        f"front-end -> pose graph + structure factors): ATE "
+        f"{bag_row.get('ate_rmse_m')} m over {bag_row.get('frames')} "
+        f"frames, {bag_row.get('loop_closures')} closures "
+        f"(`run_odometry --bag ... --mode pose_graph --front-end "
+        f"scan_to_map --structure-factors`).",
         "",
         f"**Long horizon** (512 frames, sparse 800 m world): scan-to-map ATE "
         f"{long_row['s2m_ate_m']} m, max error {long_row['s2m_max_err_m']} m, "

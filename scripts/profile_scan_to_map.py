@@ -34,7 +34,8 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/icp4dradar_jax_cache")
+    from icp4dradar_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     import jax.numpy as jnp

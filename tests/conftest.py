@@ -23,6 +23,23 @@ jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
+# Persistent compilation cache: repeated suite runs (driver, judge, local
+# iteration) skip minutes of XLA:CPU compiles. Keyed by the host CPU's
+# feature flags — XLA:CPU AOT artifacts compiled on a different machine
+# type load with feature-mismatch warnings and can SIGILL, so a cache dir
+# from another host must never be reused.
+try:
+    import hashlib
+
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((ln for ln in _f if ln.startswith("flags")), "")
+    _tag = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/icp4dradar_jax_cache_cpu_{_tag}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

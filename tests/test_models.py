@@ -160,6 +160,27 @@ class TestScanToMap:
         # after the first frame, sector submaps are non-empty
         assert (np.asarray(outs.submap_points)[2:] > 50).all()
 
+    def test_knn_gicp_path_with_exact_map_knn(self):
+        """The kNN-GICP fallback sourcing submap covariances from the EXACT
+        whole-map k-NN (voxel_map_knn_exact consumer; kd-tree
+        Nearest_Search semantics, ikd_Tree.cpp:368-398) must track like the
+        default submap-local k-NN path."""
+        seq = make_seq(frames=10)
+        scans = stack_scans([seq.scan(k) for k in range(10)])
+        base = small_cfg(**{"gicp.use_vgicp": False})
+        exact = small_cfg(**{"gicp.use_vgicp": False,
+                             "gicp.use_exact_map_knn": True})
+        _, o_base = run_scan_to_map(scans, base)
+        _, o_exact = run_scan_to_map(scans, exact)
+        gt = seq.poses[:10, :3, 3]
+        ate_b = ate_rmse(np.asarray(o_base.world_T)[:, :3, 3], gt,
+                         align=False)
+        ate_e = ate_rmse(np.asarray(o_exact.world_T)[:, :3, 3], gt,
+                         align=False)
+        assert np.isfinite(np.asarray(o_exact.world_T)).all()
+        assert ate_e < 0.5, f"exact-kNN GICP ATE {ate_e:.3f} m"
+        assert ate_e < ate_b + 0.2, (ate_e, ate_b)
+
     def test_blocked_matches_per_frame(self):
         # amortized map updates (one sector query + one insert per block)
         # must track the same trajectory as per-frame updates

@@ -81,6 +81,30 @@ class TestDistributedGN:
         np.testing.assert_allclose(float(cost8), float(cost1),
                                    rtol=1e-3, atol=1e-5)
 
+    def test_block_assembly_stage_matches_single_device(self, mesh):
+        """Assembly-only entry (the weak-scaling bench's per-stage hook)
+        psums the same O(K) block structure the single-device
+        block_normal_equations builds."""
+        from icp4dradar_tpu.graph.block_solver import (
+            block_normal_equations, split_chain_loops,
+        )
+        from icp4dradar_tpu.parallel import distributed_block_normal_equations
+
+        gt, init, rel = make_drifted_chain(K=12)
+        graph = PoseGraph(poses=jnp.asarray(init), rel=rel)
+        chain, _ = split_chain_loops(rel)
+        # loops are excluded from the sharded assembly stage by design
+        # (they replicate as low-rank U columns in the full solver)
+        ne = block_normal_equations(graph.replace(rel=None), chain, None)
+        d8, o8, g8, c8 = distributed_block_normal_equations(graph, mesh)
+        np.testing.assert_allclose(np.asarray(d8), np.asarray(ne.diag),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(o8), np.asarray(ne.off),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g8), np.asarray(ne.g),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(c8), float(ne.cost), rtol=1e-4)
+
     def test_point_factors_sharded(self, mesh):
         rng = np.random.default_rng(3)
         from icp4dradar_tpu.geom import se3_apply, se3_exp

@@ -59,6 +59,41 @@ class TestPoseGraphOdometry:
         # chain-only graph keeps the odometry solution (up to GN noise)
         np.testing.assert_allclose(res.poses, res.odom_poses, atol=5e-2)
 
+    def test_wrong_closure_contained_by_residual_regate(self, circle_seq):
+        """An UNVERIFIED bogus closure (10 m off) injected into the factor
+        set must be dropped by the optimize -> residual-gate -> reoptimize
+        pass; Huber alone only dampens it (measured 0.8 -> 4.7 m keyframe
+        ATE drag on a clean chain)."""
+        seq = circle_seq
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        clean = run_pose_graph_odometry(
+            scans, small_cfg(), keyframe_every=4, loop_radius=8.0,
+            min_loop_gap=24)
+        kf = clean.keyframe_indices
+        K = len(kf)
+        kf_odom = clean.odom_poses[kf]
+        wrong_T = np.linalg.inv(kf_odom[1]) @ kf_odom[K - 2]
+        wrong_T[:3, 3] += np.asarray([10.0, 0.0, 0.0])
+        inj = run_pose_graph_odometry(
+            scans, small_cfg(), keyframe_every=4, loop_radius=8.0,
+            min_loop_gap=24,
+            inject_loop_factors=[(1, K - 2, wrong_T, 100.0)])
+        gt = seq.poses[:, :3, 3]
+        ate_clean = ate_rmse(clean.poses[:, :3, 3], gt, align=False)
+        ate_inj = ate_rmse(inj.poses[:, :3, 3], gt, align=False)
+        # the bogus factor is gone and legitimate closures survived
+        assert inj.num_loop_closures == clean.num_loop_closures
+        assert ate_inj < ate_clean + 0.2, (ate_inj, ate_clean)
+        # and WITHOUT the re-gate it really would have dragged the result
+        blind = run_pose_graph_odometry(
+            scans, small_cfg(), keyframe_every=4, loop_radius=8.0,
+            min_loop_gap=24,
+            inject_loop_factors=[(1, K - 2, wrong_T, 100.0)],
+            loop_residual_gate_t=float("inf"),
+            loop_residual_gate_r_deg=float("inf"))
+        ate_blind = ate_rmse(blind.poses[:, :3, 3], gt, align=False)
+        assert ate_blind > ate_inj + 0.5, (ate_blind, ate_inj)
+
     def test_distributed_backend_matches(self, circle_seq):
         from icp4dradar_tpu.parallel import make_mesh
 
