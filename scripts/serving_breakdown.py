@@ -131,19 +131,26 @@ def main(argv=None) -> int:
                         tgt_count=sub_n)
         return g.transform
 
+    # ONE jit object per stage (re-wrapping per call would re-trace every
+    # timing sample and measure trace/cache-load time, not runtime)
+    sector_j = jax.jit(jax.vmap(stage_sector))
+    insert_j = jax.jit(jax.vmap(stage_insert))
+    reve_j = jax.jit(jax.vmap(stage_reve))
+    vgicp_j = jax.jit(jax.vmap(stage_vgicp))
+
     stages = {
         "sector_query_stats": (
-            lambda B: jax.jit(jax.vmap(stage_sector))(
+            lambda B: sector_j(
                 jax.tree.map(lambda x: x[:B], vm_all), centers[:B])),
         "insert": (
-            lambda B: jax.jit(jax.vmap(stage_insert))(
+            lambda B: insert_j(
                 jax.tree.map(lambda x: x[:B], vm_all),
                 jax.tree.map(lambda x: x[:B], scan_all), centers[:B])),
         "reve": (
-            lambda B: jax.jit(jax.vmap(stage_reve))(
+            lambda B: reve_j(
                 jax.tree.map(lambda x: x[:B], scan_all), keys[:B])),
         "vgicp_register": (
-            lambda B: jax.jit(jax.vmap(stage_vgicp))(
+            lambda B: vgicp_j(
                 jax.tree.map(lambda x: x[:B], vm_all),
                 jax.tree.map(lambda x: x[:B], scan_all), centers[:B])),
     }
