@@ -262,6 +262,41 @@ def main() -> int:
     print(f"structure-factors: refined ATE {sf_row['refined_ate_m']} m "
           f"(between-only {fig8_row['refined_ate_m']} m)", file=sys.stderr)
 
+    # ---- structure factors in their DESIGN regime: a drift run with NO
+    # closure opportunities (straight-ish path, no revisits). Between-
+    # factors are consistent with the odometry by construction and cannot
+    # move anything; keyframe-to-map structure anchors are the only
+    # correction signal (graph/structure_factors.py rationale) ----
+    Fd = F8
+    drift_seq = SyntheticSequence(
+        num_frames=Fd, max_points=2048,
+        num_landmarks=int(5000 * ((Fd + 100.0) / 120.0) ** 2),
+        world_extent=Fd + 100.0, max_range=80.0, seed=0,
+        speed=1.0, turn_rate=0.005, dynamic_fraction=0.1, pos_noise=0.03)
+    drift_scans = jax.device_put(
+        stack_scans([drift_seq.scan(k) for k in range(Fd)]))
+    jax.block_until_ready(drift_scans.xyz)
+    gtd = np.asarray(drift_seq.poses[:Fd])
+    res_d0 = run_pose_graph_odometry(
+        drift_scans, cfg, keyframe_every=4, loop_radius=0.01,
+        min_loop_gap=10**6)
+    res_d1 = run_pose_graph_odometry(
+        drift_scans, cfg, keyframe_every=4, loop_radius=0.01,
+        min_loop_gap=10**6, structure_factors=True)
+    sf_drift_row = {
+        "scenario": "drift+structure-factors",
+        "frames": Fd,
+        "odom_ate_m": round(ate_rmse(res_d0.odom_poses[:, :3, 3],
+                                     gtd[:, :3, 3], align=False), 4),
+        "between_only_ate_m": round(ate_rmse(res_d0.poses[:, :3, 3],
+                                             gtd[:, :3, 3], align=False), 4),
+        "structure_ate_m": round(ate_rmse(res_d1.poses[:, :3, 3],
+                                          gtd[:, :3, 3], align=False), 4),
+    }
+    print(f"structure-drift: odom {sf_drift_row['odom_ate_m']} m, "
+          f"between-only {sf_drift_row['between_only_ate_m']} m, "
+          f"+structure {sf_drift_row['structure_ate_m']} m", file=sys.stderr)
+
     # ---- full-stack bag anchor: ColoRadar-statistics lz4 bag -> native
     # loader -> vendor adapter -> scan_to_map front-end -> pose graph ->
     # trajectory dumps, via the CLI (the reference's replay path,
@@ -369,6 +404,7 @@ def main() -> int:
         json.dump({"frames": F, "rows": rows, "vendor": vendor_rows,
                    "loop": loop_row, "fig8": fig8_row,
                    "wrong_closure": wrong_row, "structure": sf_row,
+                   "structure_drift": sf_drift_row,
                    "bag_cli": bag_row, "long": long_row,
                    "s2s_long": s2s_long}, f, indent=1)
 
@@ -422,7 +458,21 @@ def main() -> int:
         f"{fig8_row['refined_ate_m']} m with "
         f"{fig8_row['num_loop_closures']} accepted closures; with "
         f"keyframe-to-map structure factors (line/plane/point mined from "
-        f"map Gaussians): {sf_row['refined_ate_m']} m.",
+        f"map Gaussians): {sf_row['refined_ate_m']} m — redundant when a "
+        f"dense closure set already pins the graph.",
+        "",
+        f"**Structure factors, drift regime** ({sf_drift_row['frames']}-"
+        f"frame closure-free run): odometry ATE "
+        f"{sf_drift_row['odom_ate_m']} m = between-only "
+        f"{sf_drift_row['between_only_ate_m']} m (chain factors are "
+        f"odometry-consistent, nothing moves) = with structure factors "
+        f"{sf_drift_row['structure_ate_m']} m. Honest finding: factors "
+        f"mined from the pipeline's OWN map are drift-consistent too — "
+        f"they correct INDEPENDENT keyframe noise (unit-tested win, "
+        f"tests/test_structure_factors.py) but not correlated drift, and "
+        f"are redundant when closures pin the graph. Matches the "
+        f"reference, where these factors never ran at all "
+        f"(include/radarFactor.hpp dormant).",
         "",
         f"**Wrong-closure injection** ({wrong_row['keyframes']} keyframes): "
         f"a fabricated closure displaced "
