@@ -134,7 +134,14 @@ int rl_load(void* handle, int order, float* xyz, float* intensity,
             float* doppler) {
   auto* l = static_cast<Loader*>(handle);
   if (order < 0 || order >= l->num_frames) return -1;
-  l->consumer_pos.store(order);
+  {
+    // store under the lock: a worker evaluating its cv_work.wait predicate
+    // with the stale consumer value could otherwise miss this notify and
+    // sleep until the next load call (lost wakeup — same fix as
+    // bagio.cpp::bag_read_data)
+    std::lock_guard<std::mutex> lk(l->mu);
+    l->consumer_pos.store(order);
+  }
   l->cv_work.notify_all();
 
   Frame frame;
@@ -167,7 +174,15 @@ int rl_load(void* handle, int order, float* xyz, float* intensity,
 
 void rl_close(void* handle) {
   auto* l = static_cast<Loader*>(handle);
-  l->stop.store(true);
+  {
+    // stop must flip under the mutex: a worker that already evaluated its
+    // wait predicate (stop == false) but has not yet blocked would miss a
+    // lock-free notify and sleep forever, deadlocking the join below
+    // (observed as a test-suite hang in loader.py::close; Bag::~Bag in
+    // bagio.cpp has carried the same fix since round 2)
+    std::lock_guard<std::mutex> lk(l->mu);
+    l->stop.store(true);
+  }
   l->cv_work.notify_all();
   for (auto& t : l->workers) t.join();
   delete l;

@@ -28,5 +28,7 @@ from icp4dradar_tpu.parallel.ring_vgicp import (  # noqa: F401
     ring_vgicp_normal_equations,
 )
 from icp4dradar_tpu.parallel.distributed_pipeline import (  # noqa: F401
+    load_distributed_state,
     run_scan_to_map_distributed,
+    save_distributed_state,
 )

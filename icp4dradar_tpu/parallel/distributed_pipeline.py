@@ -207,7 +207,7 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
             gicp.vgicp_transformation_epsilon)
         return T.at[:3, 3].add(center), fitness, iters
 
-    def local(local_vm, scans, keys):
+    def local(local_vm, pose0, scans, keys):
         def frame_step(carry, inp):
             vm, pose = carry
             scan, k = inp
@@ -249,7 +249,6 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
             return (vm, new_T), out
 
         if block <= 1:
-            pose0 = se3_identity(scans.xyz.dtype)
             (vm, _), outs = jax.lax.scan(
                 frame_step, (local_vm, pose0), (scans, keys))
             return vm, outs
@@ -261,7 +260,6 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
         dt = scans.xyz.dtype
 
         warm = jax.tree.map(lambda x: x[:F0], scans)
-        pose0 = se3_identity(dt)
         (vm, pose), warm_outs = jax.lax.scan(
             frame_step, (local_vm, pose0), (warm, keys[:F0]))
         # bootstrap the const-velocity rotation from the last warmup delta
@@ -344,7 +342,7 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(map_specs, P(), P()),
+        in_specs=(map_specs, P(), P(), P()),
         out_specs=(map_specs, (P(),) * 8),
         check_vma=False,
     )
@@ -360,11 +358,18 @@ def run_scan_to_map_distributed(
     use_doppler_prior: bool = True,
     block: int = 0,
     use_const_velocity_rot: bool = False,
+    init_map: Optional[VoxelHashMap] = None,
+    init_pose: Optional[jnp.ndarray] = None,
 ):
     """Track a stacked (F, ...) sequence on the mesh; the map lives sharded
     the whole time. Returns (final sharded VoxelHashMap, outs dict with
     per-frame world_T / correction / velocity / velocity_valid / fitness /
     num_inliers / submap_points / iterations).
+
+    `init_map` / `init_pose`: resume a distributed run from checkpointed
+    state (save_distributed_state / load_distributed_state) — tracking
+    continues against the restored sharded map from the restored pose,
+    the reference pipeline's missing crash-recovery story (SURVEY.md §5).
 
     `block > 1`: amortize the fixed-cost map ops — one sector query + one
     batched insert per `block` frames (submap frozen at block start, the
@@ -404,14 +409,75 @@ def run_scan_to_map_distributed(
     import math
     forget = math.isfinite(cfg.voxel_map.forget_radius)
 
-    vm = sharded_map_create(
-        mesh, capacity=cfg.voxel_map.capacity,
-        voxel_size=cfg.voxel_map.voxel_size,
-        max_probes=cfg.voxel_map.max_probes, axis=axis)
+    if init_map is not None:
+        if init_map.capacity != cfg.voxel_map.capacity:
+            raise ValueError(
+                f"init_map capacity {init_map.capacity} != config capacity "
+                f"{cfg.voxel_map.capacity}")
+        vm = init_map
+    else:
+        vm = sharded_map_create(
+            mesh, capacity=cfg.voxel_map.capacity,
+            voxel_size=cfg.voxel_map.voxel_size,
+            max_probes=cfg.voxel_map.max_probes, axis=axis)
+    pose0 = (se3_identity(scans.xyz.dtype) if init_pose is None
+             else jnp.asarray(init_pose, scans.xyz.dtype))
     fn = _cached_distributed_run(mesh, axis, cfg, bool(use_doppler_prior),
                                  forget, int(block),
                                  bool(use_const_velocity_rot))
-    vm, raw = fn(vm, scans, keys)
+    vm, raw = fn(vm, pose0, scans, keys)
     names = ("world_T", "correction", "velocity", "velocity_valid",
              "fitness", "num_inliers", "submap_points", "iterations")
     return vm, dict(zip(names, raw))
+
+
+def save_distributed_state(path: str, vm: VoxelHashMap,
+                           pose: jnp.ndarray, frame: int = 0) -> None:
+    """Checkpoint a distributed run: the sharded map gathers to host npz
+    plus the current pose and frame index (utils/checkpoint.py format).
+    The reference's only analog is its CSV record/replay fixture
+    (src/iterative_closest_point.cpp:188-206); map/pose state there is
+    never persisted."""
+    from icp4dradar_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(path, {"map": vm, "pose": jnp.asarray(pose)},
+                    metadata={"frame": int(frame),
+                              "voxel_size": float(vm.voxel_size),
+                              "max_probes": int(vm.max_probes)})
+
+
+def load_distributed_state(path: str, mesh: Mesh, axis: str = "dp"):
+    """Restore (sharded VoxelHashMap, pose (4,4), frame index) from a
+    save_distributed_state checkpoint, placing the map arrays sharded over
+    `mesh` — the mesh size may differ from the one that saved (capacity
+    must remain divisible)."""
+    from icp4dradar_tpu.mapping.voxel_hash import voxel_map_create
+    from icp4dradar_tpu.utils.checkpoint import load_checkpoint
+
+    import numpy as np
+
+    # peek metadata for static fields, then build a structural template
+    import json as _json
+    f = np.load(path if path.endswith(".npz") else path + ".npz")
+    meta = _json.loads(bytes(f["__meta__"]).decode())
+    C = f["leaf_0"].shape[0] if f["leaf_0"].ndim else 0
+    # leaf order follows the pytree flatten of {"map": vm, "pose": ...};
+    # rebuild via the same template structure
+    template_vm = voxel_map_create(
+        capacity=int(f["leaf_0"].shape[0]),
+        voxel_size=meta.get("voxel_size", 0.5),
+        max_probes=int(meta.get("max_probes", 8)))
+    state, meta = load_checkpoint(
+        path, {"map": template_vm, "pose": jnp.eye(4, dtype=jnp.float32)})
+    vm_host, pose = state["map"], state["pose"]
+    vm_host = template_vm.replace(
+        **{k: jnp.asarray(getattr(vm_host, k))
+           for k in ("keys", "points", "intensity", "occupied",
+                     "stat_n", "stat_sum", "stat_sq")})
+    sharding1 = jax.NamedSharding(mesh, P(axis))
+    sharding2 = jax.NamedSharding(mesh, P(axis, None))
+    vm = jax.tree.map(
+        lambda x: jax.device_put(
+            jnp.asarray(x), sharding2 if x.ndim == 2 else sharding1),
+        vm_host)
+    return vm, jnp.asarray(pose), int(meta.get("frame", 0))

@@ -1,30 +1,24 @@
 """Persistent XLA compilation cache setup shared by bench/eval scripts.
 
-CPU artifacts are keyed by the host CPU's feature flags: XLA:CPU AOT
-results compiled on a different machine type load with feature-mismatch
-warnings and can SIGILL (observed when /tmp cache dirs survive container
-reschedules across host types). TPU artifacts go to the plain dir — they
-are keyed by the device target, not host features.
+TPU ONLY. The XLA:CPU AOT cache is disabled outright: loading CPU cache
+entries on this container emits machine-feature-mismatch warnings
+("+prefer-no-scatter is not supported on the host machine ... could lead
+to execution errors such as SIGILL") and was observed to SEGFAULT inside
+jax compilation_cache.get_executable_and_time mid-test-suite — even for
+entries written by the same machine in the same session. TPU cache
+entries are keyed by the device target and have been reliable across
+rounds (they cut the ~9-minute tunnel compile of bench.py to seconds).
 """
 
 from __future__ import annotations
 
 
 def setup_compilation_cache(min_compile_secs: float = 2.0) -> str:
-    import hashlib
-
     import jax
 
     if jax.default_backend() == "cpu":
-        try:
-            with open("/proc/cpuinfo") as f:
-                flags = next((ln for ln in f if ln.startswith("flags")), "")
-        except OSError:
-            flags = ""
-        tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
-        path = f"/tmp/icp4dradar_jax_cache_cpu_{tag}"
-    else:
-        path = "/tmp/icp4dradar_jax_cache"
+        return ""  # see module docstring: CPU AOT cache segfaults here
+    path = "/tmp/icp4dradar_jax_cache"
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",

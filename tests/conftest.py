@@ -23,22 +23,13 @@ jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
-# Persistent compilation cache: repeated suite runs (driver, judge, local
-# iteration) skip minutes of XLA:CPU compiles. Keyed by the host CPU's
-# feature flags — XLA:CPU AOT artifacts compiled on a different machine
-# type load with feature-mismatch warnings and can SIGILL, so a cache dir
-# from another host must never be reused.
-try:
-    import hashlib
-
-    with open("/proc/cpuinfo") as _f:
-        _flags = next((ln for ln in _f if ln.startswith("flags")), "")
-    _tag = hashlib.sha1(_flags.encode()).hexdigest()[:10]
-    jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/icp4dradar_jax_cache_cpu_{_tag}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-except Exception:
-    pass
+# NOTE: deliberately NO persistent compilation cache here. The XLA:CPU AOT
+# cache was observed to SEGFAULT inside
+# jax compilation_cache.get_executable_and_time mid-suite on this
+# container (even for same-machine, same-session entries), matching its
+# "+prefer-no-scatter not supported on the host machine ... SIGILL"
+# loader warnings. Compile time is paid per run instead
+# (utils/cache.py keeps the cache for the TPU backend only).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -47,3 +38,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_xla_executables_between_modules():
+    """Free compiled executables after each test module.
+
+    Every XLA:CPU executable holds several mmap'd regions; one process
+    running the whole suite accumulates them monotonically and SEGFAULTS /
+    SIGABRTs when it exhausts vm.max_map_count (65530 — measured: the
+    crash lands exactly at ~65.2k mappings, mid-compile or mid-cache-read,
+    ~32% into the suite). Clearing between modules bounds the per-module
+    map footprint; cross-module program reuse is minimal so the recompile
+    cost is negligible."""
+    yield
+    jax.clear_caches()

@@ -85,6 +85,52 @@ class TestDistributedPipeline:
         ate = np.sqrt(np.mean(np.sum((Tb[:, :3, 3] - gt) ** 2, axis=-1)))
         assert ate < 0.5, f"blocked distributed ATE {ate:.3f} m"
 
+    def test_checkpoint_resume_continues_tracking(self, mesh, tmp_path):
+        """Split a sequence at frame 32: run A tracks 0..31, checkpoints
+        {sharded map, pose}; run B restores and tracks 32..63 with the
+        SAME per-frame keys the unbroken run would use. The stitched
+        trajectory must match the unbroken run — the crash-recovery story
+        the reference lacks (SURVEY.md §5)."""
+        import jax
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.geom import se3_identity
+        from icp4dradar_tpu.parallel import (
+            load_distributed_state,
+            save_distributed_state,
+            sharded_map_create,
+        )
+        from icp4dradar_tpu.parallel.distributed_pipeline import (
+            _cached_distributed_run,
+        )
+
+        F = 64
+        scans, seq = _sequence(F)
+        keys = jax.random.split(jax.random.key(CFG.seed), F)
+        fn = _cached_distributed_run(mesh, "dp", CFG, True, False, 0, False)
+
+        def fresh():
+            return sharded_map_create(
+                mesh, capacity=CFG.voxel_map.capacity,
+                voxel_size=CFG.voxel_map.voxel_size,
+                max_probes=CFG.voxel_map.max_probes)
+
+        pose0 = se3_identity(jnp.float32)
+        _, raw_full = fn(fresh(), pose0, scans, keys)
+
+        half_a = jax.tree.map(lambda x: x[:32], scans)
+        vm_a, raw_a = fn(fresh(), pose0, half_a, keys[:32])
+        p = str(tmp_path / "ckpt")
+        save_distributed_state(p, vm_a, raw_a[0][-1], frame=32)
+        vm_r, pose_r, frame_r = load_distributed_state(p, mesh)
+        assert frame_r == 32
+
+        half_b = jax.tree.map(lambda x: x[32:], scans)
+        _, raw_b = fn(vm_r, pose_r, half_b, keys[32:])
+        Tb = np.asarray(raw_b[0])
+        Tf = np.asarray(raw_full[0])[32:]
+        np.testing.assert_allclose(Tb[:, :3, 3], Tf[:, :3, 3], atol=1e-3)
+
     def test_long_run_maintenance_reclaims_tombstones(self, mesh):
         """forget-far + the DISTRIBUTED rehash keep tombstone pressure
         bounded over a long sharded run — without the rehash, dead keys
