@@ -161,7 +161,8 @@ def _ring_gn_align(
 @functools.lru_cache(maxsize=8)
 def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
                             use_doppler_prior: bool, forget: bool,
-                            block: int = 0, use_cv_rot: bool = False):
+                            block: int = 0, use_cv_rot: bool = False,
+                            has_prior: bool = False):
     """Build the whole-sequence shard_map ONCE per (mesh, axis, cfg) — the
     jit cache must survive across calls (CLAUDE.md: TPU recompiles go
     through the tunnel). `block > 1` compiles the amortized-map-ops variant
@@ -207,13 +208,19 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
             gicp.vgicp_transformation_epsilon)
         return T.at[:3, 3].add(center), fitness, iters
 
-    def local(local_vm, pose0, scans, keys):
+    def local(local_vm, pose0, scans, keys, priors):
         def frame_step(carry, inp):
             vm, pose = carry
-            scan, k = inp
+            scan, k = inp[0], inp[1]
             est = estimate_ego_velocity(scan, k, cfg.reve)
 
             has_map = jax.lax.psum(jnp.sum(vm.occupied), axis) > 0.5
+            if has_prior:
+                # body-frame motion prior (IMU rotation, preprocess/imu.py)
+                # composed into the prediction once the map exists -- the
+                # single-device scan_to_map_step semantics
+                pd = inp[2]
+                pose = jnp.where(has_map, pose @ pd, pose)
             if use_doppler_prior:
                 delta_t = pose[:3, :3] @ est.velocity
                 pose = pose.at[:3, 3].add(jnp.where(
@@ -248,9 +255,10 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
                    _iters)
             return (vm, new_T), out
 
+        frame_xs = ((scans, keys, priors) if has_prior else (scans, keys))
         if block <= 1:
             (vm, _), outs = jax.lax.scan(
-                frame_step, (local_vm, pose0), (scans, keys))
+                frame_step, (local_vm, pose0), frame_xs)
             return vm, outs
 
         # ---- blocked variant: warmup per-frame, then amortized blocks ----
@@ -259,9 +267,9 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
         nblocks = (F - F0) // block
         dt = scans.xyz.dtype
 
-        warm = jax.tree.map(lambda x: x[:F0], scans)
+        warm_xs = jax.tree.map(lambda x: x[:F0], frame_xs)
         (vm, pose), warm_outs = jax.lax.scan(
-            frame_step, (local_vm, pose0), (warm, keys[:F0]))
+            frame_step, (local_vm, pose0), warm_xs)
         # bootstrap the const-velocity rotation from the last warmup delta
         warm_T = warm_outs[0]
         warm_delta = se3_inverse(warm_T[-2]) @ warm_T[-1]
@@ -287,9 +295,13 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
         def blk_frame_step(carry, inp):
             pose, prev_rot, frozen = carry
             tm_c, tc, tmask, sub_n, center = frozen
-            scan, est, src_cov6 = inp
+            scan, est, src_cov6 = inp[0], inp[1], inp[2]
             pose_in = pose
-            if use_cv_rot:
+            if has_prior:
+                # measured prior takes precedence over the const-velocity
+                # heuristic (run_scan_to_map_blocked semantics)
+                pose = pose @ inp[3]
+            elif use_cv_rot:
                 pose = pose @ prev_rot
             if use_doppler_prior:
                 pose = pose.at[:3, 3].add(jnp.where(
@@ -313,7 +325,7 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
 
         def block_step(carry, inp):
             vm, pose, prev_rot = carry
-            scans_b, est_b, cov_b = inp
+            scans_b, est_b, cov_b = inp[0], inp[1], inp[2]
             heading = matrix_to_rpy(pose[:3, :3])[2]
             center = pose[:3, 3]
             _, tmask, cnt_l, tm, tc = shard_local_sector_stats(
@@ -321,18 +333,23 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
                 vmcfg.sector_half_angle_deg, per)
             sub_n = jax.lax.psum(cnt_l, axis)
             frozen = (tm - center[None, :], tc, tmask, sub_n, center)
+            blk_xs = ((scans_b, est_b, cov_b, inp[3]) if has_prior
+                      else (scans_b, est_b, cov_b))
             (pose, prev_rot, _), (outs, world_pts, masks, intens) = \
                 jax.lax.scan(blk_frame_step, (pose, prev_rot, frozen),
-                             (scans_b, est_b, cov_b))
+                             blk_xs)
             vm = shard_local_insert(
                 vm, world_pts.reshape(-1, 3), masks.reshape(-1),
                 intens.reshape(-1), axis, C, Cl)
             vm = maintain(vm, pose[:3, 3])
             return (vm, pose, prev_rot), outs
 
+        blk_step_xs = (rest, est_blocks, cov_blocks)
+        if has_prior:
+            pr_blocks = priors[F0:].reshape(nblocks, block, 4, 4)
+            blk_step_xs = blk_step_xs + (pr_blocks,)
         (vm, _, _), blk_outs = jax.lax.scan(
-            block_step, (vm, pose, prev_rot0),
-            (rest, est_blocks, cov_blocks))
+            block_step, (vm, pose, prev_rot0), blk_step_xs)
         blk_outs = jax.tree.map(
             lambda x: x.reshape((nblocks * block,) + x.shape[2:]), blk_outs)
         outs = jax.tree.map(
@@ -342,7 +359,7 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(map_specs, P(), P(), P()),
+        in_specs=(map_specs, P(), P(), P(), P()),
         out_specs=(map_specs, (P(),) * 8),
         check_vma=False,
     )
