@@ -41,7 +41,8 @@ from flax import struct
 from icp4dradar_tpu.ops.compaction import mask_compact
 
 _P1, _P2, _P3 = 73856093, 19349669, 83492791  # classic spatial-hash primes
-_EMPTY = jnp.int32(0x7FFFFFFF)
+import numpy as _np
+_EMPTY = _np.int32(0x7FFFFFFF)  # numpy, not jnp: no backend init at import
 
 
 @struct.dataclass

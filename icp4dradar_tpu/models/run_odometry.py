@@ -99,6 +99,16 @@ def main(argv=None) -> int:
     p.add_argument("--map-interval", type=int, default=1,
                    help="scan_to_map: amortize sector query + insert over "
                         "this many frames (run_scan_to_map_blocked)")
+    p.add_argument("--distributed", type=int, default=0, metavar="N",
+                   help="scan_to_map: run the end-to-end pipeline sharded "
+                        "over an N-device mesh (parallel/"
+                        "distributed_pipeline.py); honors --imu-prior, "
+                        "--map-interval and --cv-rot")
+    p.add_argument("--steady-state", action="store_true",
+                   help="re-run the compiled pipeline once more and report "
+                        "steady_scans_per_sec separately from the "
+                        "compile-dominated first run (the honest replay-rate "
+                        "metric; the reference's loop runs at <=100 Hz)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args(argv)
 
@@ -137,12 +147,16 @@ def main(argv=None) -> int:
     log = MetricsLogger(os.path.join(args.out, "metrics.jsonl"), echo=False)
 
     t0 = time.time()
+    rerun = None                # steady-state re-execution hook per mode
     if args.mode == "pose_graph":
         from icp4dradar_tpu.models import run_pose_graph_odometry
 
-        res = run_pose_graph_odometry(
-            scans, cfg, front_end=args.front_end,
-            structure_factors=args.structure_factors)
+        def rerun():
+            return run_pose_graph_odometry(
+                scans, cfg, front_end=args.front_end,
+                structure_factors=args.structure_factors)
+
+        res = rerun()
         elapsed = time.time() - t0
         poses = res.poses
         write_rt_txt(os.path.join(args.out, "radar_odometry.txt"), poses)
@@ -150,10 +164,11 @@ def main(argv=None) -> int:
         log.log("pose_graph", loop_closures=res.num_loop_closures,
                 keyframes=int(len(res.keyframe_indices)), cost=res.cost)
     elif args.mode == "scan_to_scan":
-        outs = run_scan_to_scan(
-            scans, cfg, use_doppler_prior=args.doppler_prior,
-            use_static_points_only=args.static_only,
-        )
+        s2s_run = jax.jit(lambda s: run_scan_to_scan(
+            s, cfg, use_doppler_prior=args.doppler_prior,
+            use_static_points_only=args.static_only))
+        rerun = lambda: jax.block_until_ready(s2s_run(scans).world_T)
+        outs = s2s_run(scans)
         jax.block_until_ready(outs.world_T)
         elapsed = time.time() - t0
         poses = np.asarray(outs.world_T)
@@ -166,23 +181,57 @@ def main(argv=None) -> int:
             np.asarray(outs.icp_transform), np.asarray(outs.fitness),
             np.asarray(outs.sine_A), np.asarray(outs.sine_b),
         )
+    elif args.distributed > 0:
+        from icp4dradar_tpu.parallel import (
+            make_mesh, run_scan_to_map_distributed,
+        )
+
+        if args.mode != "scan_to_map":
+            p.error("--distributed requires --mode scan_to_map")
+        mesh = make_mesh(args.distributed)
+
+        def dist_run():
+            return run_scan_to_map_distributed(
+                scans, mesh, cfg,
+                use_doppler_prior=not args.static_only or args.doppler_prior,
+                block=args.map_interval,
+                use_const_velocity_rot=args.cv_rot,
+                priors=prior_deltas,
+            )
+
+        rerun = lambda: jax.block_until_ready(dist_run()[1]["world_T"])
+        vm, douts = dist_run()
+        jax.block_until_ready(douts["world_T"])
+        elapsed = time.time() - t0
+        poses = np.asarray(douts["world_T"])
+        state = None
+        write_velocity_txt(os.path.join(args.out, "velocity.txt"),
+                           np.asarray(douts["velocity"]))
+        write_rt_txt(os.path.join(args.out, "radar_odometry.txt"), poses)
+        if args.viz:
+            from icp4dradar_tpu.utils import export_map_ply
+
+            n_vox = export_map_ply(os.path.join(args.out, "map.ply"), vm)
+            print(f"map.ply: {n_vox} voxels", flush=True)
     else:
         if args.map_interval > 1:
             from icp4dradar_tpu.models import run_scan_to_map_blocked
 
-            state, outs = run_scan_to_map_blocked(
-                scans, cfg, block=args.map_interval,
+            s2m_run = jax.jit(lambda s: run_scan_to_map_blocked(
+                s, cfg, block=args.map_interval,
                 use_doppler_prior=not args.static_only or args.doppler_prior,
                 prior_deltas=prior_deltas,
                 use_const_velocity_rot=args.cv_rot,
-            )
+            ))
         else:
-            state, outs = run_scan_to_map(
-                scans, cfg,
+            s2m_run = jax.jit(lambda s: run_scan_to_map(
+                s, cfg,
                 use_doppler_prior=not args.static_only or args.doppler_prior,
                 prior_deltas=prior_deltas,
                 use_const_velocity_rot=args.cv_rot,
-            )
+            ))
+        rerun = lambda: jax.block_until_ready(s2m_run(scans)[1].world_T)
+        state, outs = s2m_run(scans)
         jax.block_until_ready(outs.world_T)
         elapsed = time.time() - t0
         poses = np.asarray(outs.world_T)
@@ -207,7 +256,7 @@ def main(argv=None) -> int:
         from icp4dradar_tpu.utils import export_map_ply, write_html_viewer
 
         map_pts = None
-        if args.mode == "scan_to_map":
+        if args.mode == "scan_to_map" and state is not None:
             n_vox = export_map_ply(os.path.join(args.out, "map.ply"), state.vmap)
             occ = np.asarray(state.vmap.occupied) > 0.5
             map_pts = np.asarray(state.vmap.points)[occ]
@@ -222,6 +271,16 @@ def main(argv=None) -> int:
     scans_per_sec = F / elapsed
     rec = {"frames": F, "elapsed_s": round(elapsed, 3),
            "scans_per_sec": round(scans_per_sec, 2)}
+    if args.steady_state and rerun is not None:
+        # the first run above paid trace + compile; a second pass over the
+        # same compiled program is the replay rate a long-running process
+        # sustains (the number comparable to the reference's 100 Hz loop)
+        t1 = time.time()
+        rerun()
+        steady = time.time() - t1
+        rec["steady_s"] = round(steady, 3)
+        rec["steady_scans_per_sec"] = round(F / steady, 2)
+        rec["compile_overhead_s"] = round(elapsed - steady, 3)
     if gt_poses is not None:
         rec["ate_rmse_m"] = round(ate_rmse(poses[:, :3, 3], gt_poses[:, :3, 3]), 4)
     log.log("run_complete", mode=args.mode, **rec)

@@ -24,7 +24,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = jnp.float32(1e30)
+# plain numpy scalar: a module-level jnp constant would initialize the JAX
+# backends at import time, freezing the device count before CLI entry
+# points can pin the platform (run_odometry --cpu / --distributed)
+import numpy as _np
+_BIG = _np.float32(1e30)
 
 
 # ----------------------------------------------------------------------

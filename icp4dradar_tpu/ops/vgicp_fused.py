@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = jnp.float32(1e30)
+import numpy as _np
+_BIG = _np.float32(1e30)  # numpy, not jnp: no backend init at import
 _NOUT = 32  # 30 used
 
 

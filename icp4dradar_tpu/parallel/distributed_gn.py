@@ -27,6 +27,7 @@ import functools
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -46,12 +47,15 @@ from icp4dradar_tpu.graph.gauss_newton import (
 # payloads for the masked pad rows (residual fns must stay NaN-free there:
 # a 0/0 in a padded row would poison the psum through 0 * nan)
 _FACTOR_FIELDS = ("rel", "points", "lines", "planes", "planes3")
+# numpy, not jnp: module-level jnp arrays would initialize the JAX backends
+# at import time, freezing the device count before CLI entry points can pin
+# the platform (run_odometry --cpu / --distributed)
 _PAD_FILLERS = {
-    "T_meas": jnp.eye(4),
-    "line_b": jnp.asarray([1.0, 0.0, 0.0]),
-    "normal": jnp.asarray([0.0, 0.0, 1.0]),
-    "plane_l": jnp.asarray([1.0, 0.0, 0.0]),
-    "plane_m": jnp.asarray([0.0, 1.0, 0.0]),
+    "T_meas": np.eye(4),
+    "line_b": np.asarray([1.0, 0.0, 0.0]),
+    "normal": np.asarray([0.0, 0.0, 1.0]),
+    "plane_l": np.asarray([1.0, 0.0, 0.0]),
+    "plane_m": np.asarray([0.0, 1.0, 0.0]),
 }
 
 

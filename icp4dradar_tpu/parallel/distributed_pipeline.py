@@ -357,9 +357,16 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
             warm_outs, blk_outs)
         return vm, outs
 
+    if has_prior:
+        entry_fn = local
+        in_specs = (map_specs, P(), P(), P(), P())
+    else:
+        def entry_fn(local_vm, pose0, scans, keys):
+            return local(local_vm, pose0, scans, keys, None)
+        in_specs = (map_specs, P(), P(), P())
     fn = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(map_specs, P(), P(), P(), P()),
+        entry_fn, mesh=mesh,
+        in_specs=in_specs,
         out_specs=(map_specs, (P(),) * 8),
         check_vma=False,
     )
@@ -377,6 +384,7 @@ def run_scan_to_map_distributed(
     use_const_velocity_rot: bool = False,
     init_map: Optional[VoxelHashMap] = None,
     init_pose: Optional[jnp.ndarray] = None,
+    priors: Optional[jnp.ndarray] = None,
 ):
     """Track a stacked (F, ...) sequence on the mesh; the map lives sharded
     the whole time. Returns (final sharded VoxelHashMap, outs dict with
@@ -394,6 +402,14 @@ def run_scan_to_map_distributed(
     (F - block) % block == 0. `use_const_velocity_rot`: predict each
     frame's heading change from the previous refined body delta (blocked
     mode only — the per-frame path keeps reference semantics).
+
+    `priors` (F, 4, 4): optional per-frame body-frame motion priors (e.g.
+    preprocess.imu.imu_prior_deltas) composed into the pose prediction once
+    the map exists — same semantics as scan_to_map_step's `prior_delta`
+    (the reference queues IMU and discards it,
+    src/radar_odometry.cpp:359-362; here it is live on the mesh too). In
+    blocked mode a measured prior supersedes the const-velocity rotation
+    heuristic, matching run_scan_to_map_blocked.
 
     Requires cfg.gicp.use_vgicp (the distributed registration is the ring
     VGICP sweep) and capacity / submap_max_points divisible by the mesh.
@@ -423,6 +439,11 @@ def run_scan_to_map_distributed(
             f"blocked distributed run needs (F - block) % block == 0, got "
             f"F={F}, block={block}")
     keys = jax.random.split(key, F)
+    if priors is not None:
+        priors = jnp.asarray(priors, scans.xyz.dtype)
+        if priors.shape != (F, 4, 4):
+            raise ValueError(
+                f"priors must be (F, 4, 4) = ({F}, 4, 4), got {priors.shape}")
     import math
     forget = math.isfinite(cfg.voxel_map.forget_radius)
 
@@ -441,8 +462,12 @@ def run_scan_to_map_distributed(
              else jnp.asarray(init_pose, scans.xyz.dtype))
     fn = _cached_distributed_run(mesh, axis, cfg, bool(use_doppler_prior),
                                  forget, int(block),
-                                 bool(use_const_velocity_rot))
-    vm, raw = fn(vm, pose0, scans, keys)
+                                 bool(use_const_velocity_rot),
+                                 has_prior=priors is not None)
+    args = (vm, pose0, scans, keys)
+    if priors is not None:
+        args = args + (priors,)
+    vm, raw = fn(*args)
     names = ("world_T", "correction", "velocity", "velocity_valid",
              "fitness", "num_inliers", "submap_points", "iterations")
     return vm, dict(zip(names, raw))
@@ -459,6 +484,7 @@ def save_distributed_state(path: str, vm: VoxelHashMap,
 
     save_checkpoint(path, {"map": vm, "pose": jnp.asarray(pose)},
                     metadata={"frame": int(frame),
+                              "capacity": int(vm.capacity),
                               "voxel_size": float(vm.voxel_size),
                               "max_probes": int(vm.max_probes)})
 
@@ -477,11 +503,13 @@ def load_distributed_state(path: str, mesh: Mesh, axis: str = "dp"):
     import json as _json
     f = np.load(path if path.endswith(".npz") else path + ".npz")
     meta = _json.loads(bytes(f["__meta__"]).decode())
-    C = f["leaf_0"].shape[0] if f["leaf_0"].ndim else 0
-    # leaf order follows the pytree flatten of {"map": vm, "pose": ...};
-    # rebuild via the same template structure
+    if "capacity" not in meta:
+        raise ValueError(
+            f"checkpoint {path} has no 'capacity' metadata — not a "
+            "save_distributed_state checkpoint (or written by a pre-r4 "
+            "version; re-save it)")
     template_vm = voxel_map_create(
-        capacity=int(f["leaf_0"].shape[0]),
+        capacity=int(meta["capacity"]),
         voxel_size=meta.get("voxel_size", 0.5),
         max_probes=int(meta.get("max_probes", 8)))
     state, meta = load_checkpoint(

@@ -84,10 +84,18 @@ def main(argv=None) -> int:
         dynamic_fraction=0.1, pos_noise=0.02, seed=0)
     scans = stack_scans([seq.scan(k) for k in range(F)])
     gt = seq.poses[:F, :3, 3]
+    # rotation-only body priors from the gt chain — the perfect-gyro analog
+    # of preprocess.imu.imu_prior_deltas, exercising the distributed
+    # has_prior path end to end
+    gt44 = np.asarray(seq.poses[:F], dtype=np.float64)
+    priors = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    for k in range(1, F):
+        d = np.linalg.inv(gt44[k - 1]) @ gt44[k]
+        priors[k, :3, :3] = d[:3, :3].astype(np.float32)
     ncores = os.cpu_count() or 1
 
     out = {
-        "bench": "distributed_pipeline_r3",
+        "bench": "distributed_pipeline_r4",
         "backend": jax.default_backend(),
         "environment": (
             f"{'real TPU chip' if args.tpu else f'virtual CPU mesh on {ncores} host cores'}"
@@ -101,8 +109,11 @@ def main(argv=None) -> int:
             continue
         mesh = make_mesh(n)
         for mode, kw in (("per-frame", {}),
+                         ("per-frame+imu", dict(priors=priors)),
                          ("blocked", dict(block=args.block,
-                                          use_const_velocity_rot=True))):
+                                          use_const_velocity_rot=True)),
+                         ("blocked+imu", dict(block=args.block,
+                                              priors=priors))):
             vm, o = run_scan_to_map_distributed(scans, mesh, cfg, **kw)
             jax.block_until_ready(o["world_T"])
             dt = _best_of(lambda kw=kw, mesh=mesh: jax.block_until_ready(

@@ -85,6 +85,46 @@ class TestDistributedPipeline:
         ate = np.sqrt(np.mean(np.sum((Tb[:, :3, 3] - gt) ** 2, axis=-1)))
         assert ate < 0.5, f"blocked distributed ATE {ate:.3f} m"
 
+    def test_imu_prior_matches_single_device(self, mesh):
+        """The distributed `priors` path (body-frame motion priors, e.g.
+        preprocess.imu.imu_prior_deltas) equals the single-device
+        `prior_deltas` path per-frame, and tracks equivalently in blocked
+        mode (blocked key-split orders differ by design, so the blocked
+        comparison is at the ATE level). Round-3 VERDICT item 2: the
+        has_prior branches must be reachable and tested."""
+        from icp4dradar_tpu.models import run_scan_to_map_blocked
+
+        F = 24
+        scans, seq = _sequence(F)
+        # rotation-only body priors from the gt chain — what imu_prior_deltas
+        # would integrate from a perfect gyro between scan stamps
+        gt = np.asarray(seq.poses[:F], dtype=np.float64)
+        pr = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+        for k in range(1, F):
+            d = np.linalg.inv(gt[k - 1]) @ gt[k]
+            pr[k, :3, :3] = d[:3, :3].astype(np.float32)
+
+        _, outs = run_scan_to_map_distributed(scans, mesh, CFG, priors=pr)
+        _, ref = run_scan_to_map(scans, CFG, prior_deltas=pr)
+        Td = np.asarray(outs["world_T"])
+        Tr = np.asarray(ref.world_T)
+        assert np.isfinite(Td).all()
+        np.testing.assert_allclose(Td[:, :3, 3], Tr[:, :3, 3], atol=1e-2)
+        np.testing.assert_allclose(Td[:, :3, :3], Tr[:, :3, :3], atol=1e-2)
+
+        _, outs_b = run_scan_to_map_distributed(
+            scans, mesh, CFG, block=8, priors=pr)
+        _, ref_b = run_scan_to_map_blocked(
+            scans, CFG, block=8, prior_deltas=pr)
+        Tb = np.asarray(outs_b["world_T"])
+        assert np.isfinite(Tb).all()
+        gt_t = gt[:, :3, 3]
+        ate_d = np.sqrt(np.mean(np.sum((Tb[:, :3, 3] - gt_t) ** 2, axis=-1)))
+        ate_s = np.sqrt(np.mean(np.sum(
+            (np.asarray(ref_b.world_T)[:, :3, 3] - gt_t) ** 2, axis=-1)))
+        assert ate_d < 0.5, f"blocked distributed prior ATE {ate_d:.3f} m"
+        assert abs(ate_d - ate_s) < 0.25, (ate_d, ate_s)
+
     def test_checkpoint_resume_continues_tracking(self, mesh, tmp_path):
         """Split a sequence at frame 32: run A tracks 0..31, checkpoints
         {sharded map, pose}; run B restores and tracks 32..63 with the
@@ -130,6 +170,38 @@ class TestDistributedPipeline:
         Tb = np.asarray(raw_b[0])
         Tf = np.asarray(raw_full[0])[32:]
         np.testing.assert_allclose(Tb[:, :3, 3], Tf[:, :3, 3], atol=1e-3)
+
+    def test_submap_quota_saturation_bounded_divergence(self, mesh):
+        """Hot-shard quota truncation at saturation (the documented caveat,
+        sharded_map.py::shard_local_sector_stats): with sector occupancy
+        well past the submap budget every shard saturates its per-shard
+        quota and the kept-voxel set differs from the single-device global
+        budget. The divergence must stay BOUNDED — both paths keep tracking
+        GT, and their ATEs stay close (VERDICT r3 #9)."""
+        F = 24
+        seq = SyntheticSequence(
+            num_frames=F, max_points=512, num_landmarks=8000,
+            world_extent=50.0, max_range=45.0, turn_rate=0.05, speed=1.0,
+            dynamic_fraction=0.05, pos_noise=0.01, seed=11)
+        scans = stack_scans([seq.scan(k) for k in range(F)])
+        cfg = PipelineConfig().override(**{
+            "voxel_map.capacity": 1 << 13,
+            "voxel_map.submap_max_points": 512,   # per-shard quota 64
+            "gicp.max_iterations": 15,
+        })
+        _, outs = run_scan_to_map_distributed(scans, mesh, cfg)
+        state, ref = run_scan_to_map(scans, cfg)
+        # both paths actually hit their budgets (the regime under test)
+        assert int(np.max(np.asarray(ref.submap_points))) >= 512
+        assert int(np.max(np.asarray(outs["submap_points"]))) >= 460
+        gt = seq.poses[:F, :3, 3]
+        Td = np.asarray(outs["world_T"])[:, :3, 3]
+        Ts = np.asarray(ref.world_T)[:, :3, 3]
+        ate_d = np.sqrt(np.mean(np.sum((Td - gt) ** 2, axis=-1)))
+        ate_s = np.sqrt(np.mean(np.sum((Ts - gt) ** 2, axis=-1)))
+        assert ate_d < 0.5, f"saturated distributed ATE {ate_d:.3f} m"
+        assert ate_s < 0.5, f"saturated single-device ATE {ate_s:.3f} m"
+        assert abs(ate_d - ate_s) < 0.3, (ate_d, ate_s)
 
     def test_long_run_maintenance_reclaims_tombstones(self, mesh):
         """forget-far + the DISTRIBUTED rehash keep tombstone pressure
