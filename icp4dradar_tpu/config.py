@@ -191,6 +191,15 @@ class VoxelMapConfig:
     # preserve probe chains, so without rehashing a long forgetful run
     # permanently consumes slots and new territory stops inserting
     rehash_tombstone_fraction: float = 0.1
+    # distributed pipeline only: per-shard sector-query rows are
+    # slack * submap_max_points / n_devices. Voxels hash-distribute
+    # ~uniformly but not exactly, so at quota saturation a hot shard
+    # truncates while others have slack (measured 0.39 -> 0.88 m ATE at a
+    # fully saturated budget, tests/test_distributed_pipeline.py). slack=2
+    # absorbs the imbalance — and keeps MORE total sector rows than the
+    # single-device global budget at saturation — at proportionally more
+    # ring-sweep work per frame.
+    shard_quota_slack: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -210,6 +219,11 @@ class PoseGraphConfig:
     damping: float = 1e-6
     huber_delta: float = 1.0
     convergence_eps: float = 1e-8
+    # scan-to-map front-end block for run_pose_graph_odometry: amortizes
+    # sector query + insert over this many frames (run_scan_to_map_blocked).
+    # F must satisfy F > block and F % block == 0 or the front end warns and
+    # falls back to the ~2x-slower per-frame path; 0/1 disables blocking.
+    front_end_block: int = 8
 
 
 @dataclass(frozen=True)

@@ -114,6 +114,8 @@ def run_pose_graph_odometry(
     structure_factors: bool = False,
     loop_residual_gate_t: float = 2.0,
     loop_residual_gate_r_deg: float = 10.0,
+    loop_residual_gate_t_per_frame: float = 0.02,
+    loop_residual_gate_r_deg_per_frame: float = 0.05,
     inject_loop_factors=None,
 ) -> PoseGraphOdometryResult:
     """Full pipeline. Pass a `mesh` to run the GN back-end distributed
@@ -128,6 +130,16 @@ def run_pose_graph_odometry(
     the residual re-gate removes it outright, while legitimate closures —
     whose residuals the optimizer can drive to ~0 — always survive. Set
     gates to inf for the single-pass behavior.
+
+    The gates SCALE WITH THE LOOP SPAN: at the low-weight gating solution
+    a legitimate closure's residual approximately equals the odometry
+    drift accumulated around the loop, so a fixed 2 m gate would drop
+    exactly the long-horizon closures that matter most. The effective
+    per-factor gate is `loop_residual_gate_t +
+    loop_residual_gate_t_per_frame * |frame_j - frame_i|` (rotation
+    analogous) — 0.02 m / 0.05 deg per frame of loop span cover typical
+    radar odometry drift rates; tune the per-frame terms to your
+    front-end's measured drift, or zero them for fixed gates.
 
     `inject_loop_factors`: list of (kf_i, kf_j, T_meas (4,4), weight)
     appended UNVERIFIED to the factor set — a fault-injection hook for
@@ -148,8 +160,16 @@ def run_pose_graph_odometry(
     construction) cannot move anything."""
     F = scans.xyz.shape[0]
     if front_end == "scan_to_map":
-        block = 8
-        if not (F > block and (F - block) % block == 0):
+        block = cfg.pose_graph.front_end_block
+        if block > 1 and not (F > block and (F - block) % block == 0):
+            import warnings
+
+            warnings.warn(
+                f"scan_to_map front-end: F={F} does not fit "
+                f"pose_graph.front_end_block={block} (needs F > block and "
+                f"F % block == 0); falling back to the ~2x-slower per-frame "
+                f"path — pad or trim the sequence, or set the block to a "
+                f"divisor of F", RuntimeWarning, stacklevel=2)
             block = 0
         odom = np.asarray(_jitted_s2m_front_end(cfg, block)(scans))
     elif front_end == "scan_to_scan":
@@ -367,8 +387,16 @@ def run_pose_graph_odometry(
                 graph_g, _ = optimize_pose_graph_block(
                     graph_g, cfg.pose_graph)
             t_err, r_err = loop_residuals(np.asarray(graph_g.poses))
-            bad = ((t_err > loop_residual_gate_t)
-                   | (r_err > loop_residual_gate_r_deg))
+            # span-scaled gates (see docstring): drift accumulated around a
+            # loop grows with its frame span, and the gating solution leaves
+            # legit closures sitting at exactly that drift
+            gap_l = np.abs(kf[fj[n_chain:]] - kf[fi[n_chain:]]).astype(
+                np.float64)
+            gate_t = (loop_residual_gate_t
+                      + loop_residual_gate_t_per_frame * gap_l)
+            gate_r = (loop_residual_gate_r_deg
+                      + loop_residual_gate_r_deg_per_frame * gap_l)
+            bad = (t_err > gate_t) | (r_err > gate_r)
             if bad.any():
                 keep = np.concatenate([np.ones(n_chain, bool), ~bad])
                 n_loops = int((~bad).sum())

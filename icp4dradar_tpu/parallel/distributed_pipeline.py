@@ -174,7 +174,13 @@ def _cached_distributed_run(mesh: Mesh, axis: str, cfg: PipelineConfig,
     n = mesh.shape[axis]
     C = cfg.voxel_map.capacity
     Cl = C // n
+    # per-shard sector quota, with optional slack against hash imbalance at
+    # saturation (VoxelMapConfig.shard_quota_slack); rounded up to a
+    # sublane multiple so the compacted buffers tile cleanly
     per = cfg.voxel_map.submap_max_points // n
+    slack = float(getattr(cfg.voxel_map, "shard_quota_slack", 1.0))
+    if slack != 1.0:
+        per = -(-int(per * slack) // 8) * 8
     vmcfg = cfg.voxel_map
     gicp = cfg.gicp
     on_tpu = jax.default_backend() == "tpu"
