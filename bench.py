@@ -77,17 +77,19 @@ def main() -> int:
         lambda s: run_scan_to_scan(s, cfg, use_doppler_prior=True).world_T
     )
 
+    # NOTE on timing: jax.block_until_ready is a NO-OP through the axon
+    # tunnel (measured returning in 0.1 ms while the computation takes
+    # 113 ms) — every timed section must materialize a (small) output to
+    # host via np.asarray, which faithfully waits for the computation.
     t0 = time.time()
-    poses = run(scans)
-    jax.block_until_ready(poses)
+    poses = np.asarray(run(scans))
     print(f"compile + first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     # steady-state timing (best of 5; axon tunnel adds run-to-run jitter)
     times = []
     for _ in range(5):
         t0 = time.time()
-        poses = run(scans)
-        jax.block_until_ready(poses)
+        poses = np.asarray(run(scans))
         times.append(time.time() - t0)
     dt = min(times)
     scans_per_sec = FRAMES / dt
@@ -110,13 +112,11 @@ def main() -> int:
         run2 = jax.jit(
             lambda s: run_scan_to_map_blocked(
                 s, cfg, block=8, use_const_velocity_rot=True)[1].world_T)
-        poses2 = run2(scans2)
-        jax.block_until_ready(poses2)
+        poses2 = np.asarray(run2(scans2))
         times2 = []
         for _ in range(2):          # best-of-2: tunnel jitter can double a
             t0 = time.time()        # single sample (measured 2.3 -> 6 ms)
-            poses2 = run2(scans2)
-            jax.block_until_ready(poses2)
+            poses2 = np.asarray(run2(scans2))
             times2.append(time.time() - t0)
         dt2 = min(times2)
         ate2 = ate_rmse(np.asarray(poses2)[:, :3, 3], seq.poses[:F2, :3, 3],
@@ -138,15 +138,26 @@ def main() -> int:
         )
         run3 = jax.jit(lambda s: run_scan_to_map_batch(
             s, cfg, block=8, use_const_velocity_rot=True)[1].world_T)
-        jax.block_until_ready(run3(scans3))
+        np.asarray(run3(scans3))
         t0 = time.time()
-        jax.block_until_ready(run3(scans3))
+        np.asarray(run3(scans3))
         dt3 = time.time() - t0
         print(f"tertiary batched scan_to_map: B={B} streams, "
               f"{B * F3 / dt3:.1f} aggregate scans/s "
               f"({dt3 * 1e3 / F3:.2f} ms/frame-step)", file=sys.stderr)
       except Exception as e:
         print(f"tertiary batched scan_to_map failed: {e}", file=sys.stderr)
+
+    # roofline: achieved vs v5e peak for the three hot kernels, with the
+    # binding wall named (utils/roofline.py documents peaks + FLOP models)
+    if jax.default_backend() == "tpu" and _within_budget("roofline"):
+      try:
+        from icp4dradar_tpu.utils import roofline
+
+        for rep in roofline.measure_hot_kernels(reps=16, best_of=2):
+            print("roofline " + roofline.format_report(rep), file=sys.stderr)
+      except Exception as e:
+        print(f"roofline stage failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "scan_to_scan_odometry_scans_per_sec",

@@ -116,7 +116,12 @@ def main(argv=None) -> int:
                                               priors=priors))):
             vm, o = run_scan_to_map_distributed(scans, mesh, cfg, **kw)
             jax.block_until_ready(o["world_T"])
-            dt = _best_of(lambda kw=kw, mesh=mesh: jax.block_until_ready(
+            # time to HOST MATERIALIZATION (np.asarray), not
+            # block_until_ready: through the axon tunnel block_until_ready
+            # was observed returning early on sharded outputs (a 64-frame
+            # run "measured" at 3 ms), while the 4 KB pose transfer
+            # faithfully waits for the computation
+            dt = _best_of(lambda kw=kw, mesh=mesh: np.asarray(
                 run_scan_to_map_distributed(scans, mesh, cfg, **kw)[1]
                 ["world_T"]))
             T = np.asarray(o["world_T"])

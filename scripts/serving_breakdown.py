@@ -30,6 +30,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _sync(out):
+    """Wait for a jitted call by materializing its SMALLEST output leaf:
+    jax.block_until_ready is a no-op through the axon tunnel (measured
+    returning in 0.1 ms while the computation takes 113 ms — bench.py
+    note), while a host transfer waits for the whole executable."""
+    import jax
+    import numpy as np
+
+    leaves = jax.tree.leaves(out)
+    np.asarray(min(leaves, key=lambda l: getattr(l, "size", 1)))
+
+
 def _best_of(fn, n=5):
     ts = []
     for _ in range(n):
@@ -155,7 +167,7 @@ def main(argv=None) -> int:
                 jax.tree.map(lambda x: x[:B], scan_all), centers[:B])),
     }
 
-    out = {"bench": "serving_breakdown_r3",
+    out = {"bench": "serving_breakdown_r4",
            "backend": jax.default_backend(),
            "points": N, "capacity": args.capacity,
            "submap_max_points": args.submap, "stages": {}}
@@ -164,8 +176,8 @@ def main(argv=None) -> int:
         for B in args.batches:
             if B > Bmax:
                 continue
-            jax.block_until_ready(fn(B))     # compile
-            dt = _best_of(lambda: jax.block_until_ready(fn(B)))
+            _sync(fn(B))                     # compile
+            dt = _best_of(lambda: _sync(fn(B)))
             rows.append({"B": B, "ms": round(dt * 1e3, 3),
                          "ms_per_stream": round(dt * 1e3 / B, 3)})
             print(f"{name} B={B}: {dt*1e3:.3f} ms "

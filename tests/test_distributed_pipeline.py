@@ -35,11 +35,43 @@ def _sequence(F, seed=3):
     return stack_scans([seq.scan(k) for k in range(F)]), seq
 
 
+_SHARED64 = {}
+
+
+def _shared_full64(mesh):
+    """ONE 64-frame distributed run shared by the equality and checkpoint
+    tests (they previously re-tracked the identical sequence; VERDICT r3
+    #8). Returns (scans, seq, keys, vm, raw) where raw is the tuple output
+    of the cached shard_map entry point."""
+    if "r" not in _SHARED64:
+        import jax
+
+        from icp4dradar_tpu.geom import se3_identity
+        from icp4dradar_tpu.parallel import sharded_map_create
+        from icp4dradar_tpu.parallel.distributed_pipeline import (
+            _cached_distributed_run,
+        )
+
+        F = 64
+        scans, seq = _sequence(F)
+        keys = jax.random.split(jax.random.key(CFG.seed), F)
+        fn = _cached_distributed_run(mesh, "dp", CFG, True, False, 0, False)
+        vm0 = sharded_map_create(
+            mesh, capacity=CFG.voxel_map.capacity,
+            voxel_size=CFG.voxel_map.voxel_size,
+            max_probes=CFG.voxel_map.max_probes)
+        vm, raw = fn(vm0, se3_identity(scans.xyz.dtype), scans, keys)
+        _SHARED64["r"] = (scans, seq, keys, vm, raw)
+    return _SHARED64["r"]
+
+
 class TestDistributedPipeline:
     def test_matches_single_device_64_frames(self, mesh):
         F = 64
-        scans, seq = _sequence(F)
-        vm, outs = run_scan_to_map_distributed(scans, mesh, CFG)
+        scans, seq, _, vm, raw = _shared_full64(mesh)
+        names = ("world_T", "correction", "velocity", "velocity_valid",
+                 "fitness", "num_inliers", "submap_points", "iterations")
+        outs = dict(zip(names, raw))
         state, ref = run_scan_to_map(scans, CFG)
 
         Td = np.asarray(outs["world_T"])
@@ -144,9 +176,7 @@ class TestDistributedPipeline:
             _cached_distributed_run,
         )
 
-        F = 64
-        scans, seq = _sequence(F)
-        keys = jax.random.split(jax.random.key(CFG.seed), F)
+        scans, _, keys, _, raw_full = _shared_full64(mesh)
         fn = _cached_distributed_run(mesh, "dp", CFG, True, False, 0, False)
 
         def fresh():
@@ -156,7 +186,6 @@ class TestDistributedPipeline:
                 max_probes=CFG.voxel_map.max_probes)
 
         pose0 = se3_identity(jnp.float32)
-        _, raw_full = fn(fresh(), pose0, scans, keys)
 
         half_a = jax.tree.map(lambda x: x[:32], scans)
         vm_a, raw_a = fn(fresh(), pose0, half_a, keys[:32])
