@@ -5,6 +5,11 @@ Runs the full icp4radar-equivalent pipeline (Doppler RANSAC + static split +
 LSQ ego velocity + 10-iteration point-to-point ICP + pose composition) over a
 synthetic 2048-point/scan sequence, entirely inside one lax.scan dispatch.
 
+Sequence lengths are sized so the ~25 ms axon-tunnel dispatch latency is
+amortized below ~3% of the measurement (the r1-r3 lengths of 64-256 frames
+carried a hidden 0.1-0.4 ms/frame dispatch tax — round-4 correction, see
+docs/PERFORMANCE.md).
+
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N}
 
@@ -20,7 +25,7 @@ import time
 
 import numpy as np
 
-FRAMES = 256
+FRAMES = 1024
 MAX_POINTS = 2048
 BASELINE_SCANS_PER_SEC = 100.0  # reference frame-loop rate cap
 
@@ -107,7 +112,7 @@ def main() -> int:
       try:
         from icp4dradar_tpu.models import run_scan_to_map_blocked
 
-        F2 = 64
+        F2 = 256
         scans2 = jax.tree.map(lambda x: x[:F2], scans)
         run2 = jax.jit(
             lambda s: run_scan_to_map_blocked(
@@ -131,7 +136,7 @@ def main() -> int:
       try:
         from icp4dradar_tpu.models import run_scan_to_map_batch
 
-        B, F3 = 4, 64
+        B, F3 = 4, 256
         scans3 = jax.tree.map(
             lambda x: jax.numpy.stack([x[b * F3:(b + 1) * F3] for b in range(B)]),
             scans,
@@ -154,7 +159,7 @@ def main() -> int:
       try:
         from icp4dradar_tpu.utils import roofline
 
-        for rep in roofline.measure_hot_kernels(reps=16, best_of=2):
+        for rep in roofline.measure_hot_kernels(reps=256, best_of=2):
             print("roofline " + roofline.format_report(rep), file=sys.stderr)
       except Exception as e:
         print(f"roofline stage failed: {e}", file=sys.stderr)

@@ -148,13 +148,22 @@ def insert_roofline(n: int, capacity: int, max_probes: int = 8,
                           vpu_flops=60.0 * n)
 
 
-def measure_hot_kernels(reps: int = 32, n: int = 2048, m: int = 16384,
+def measure_hot_kernels(reps: int = 256, n: int = 2048, m: int = 16384,
                         capacity: int = 1 << 18, best_of: int = 3) -> list:
     """Time the three hot kernels on the current backend and return their
     roofline reports. Each kernel runs `reps` times inside ONE lax.scan
     dispatch (per-dispatch latency through the axon tunnel is ~25 ms — a
     per-call loop would measure the tunnel, CLAUDE.md), with a value
     dependency threaded through the carry so XLA cannot elide iterations.
+
+    Round-4 correction: the residual dispatch bias is ~25/reps ms PER REP —
+    at the r3 default reps=32 that is ~0.8 ms, which exceeded the true cost
+    of two of the three kernels (docs/roofline_r4.json as first committed
+    was inflated by exactly this). Now reps defaults high enough to push the
+    bias under ~0.1 ms/rep AND an empty-chain floor (same scan structure,
+    trivial body) is measured and subtracted; each report carries the floor
+    in "floor_ms_per_rep" so the correction is visible.
+
     Utilization fractions are only meaningful on TPU; callers should label
     CPU runs as smoke."""
     import time
@@ -197,6 +206,16 @@ def measure_hot_kernels(reps: int = 32, n: int = 2048, m: int = 16384,
             ts.append(time.time() - t0)
         return min(ts) / reps
 
+    def floor_loop(s):
+        # empty chain with the same scan structure: measures dispatch +
+        # per-iteration loop overhead, subtracted from every kernel time
+        def body(acc, _):
+            return acc + jnp.sum(s) * 0.0, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        return acc
+
+    floor = timed(floor_loop, src)
+
     def nn_loop(s, t):
         def body(acc, _):
             _, d = nearest_neighbor_pallas(
@@ -223,11 +242,14 @@ def measure_hot_kernels(reps: int = 32, n: int = 2048, m: int = 16384,
 
     reports = []
     dt = timed(nn_loop, src, src[:n])              # s2s: M == N
-    reports.append(nn_kernel_roofline(n, n).report(dt))
+    reports.append(nn_kernel_roofline(n, n).report(max(dt - floor, 1e-9)))
     dt = timed(vgicp_loop, src, tgt)
-    reports.append(vgicp_sweep_roofline(n, m).report(dt))
+    reports.append(vgicp_sweep_roofline(n, m).report(max(dt - floor, 1e-9)))
     dt = timed(insert_loop, src)
-    reports.append(insert_roofline(n, capacity).report(dt))
+    reports.append(insert_roofline(n, capacity).report(max(dt - floor, 1e-9)))
+    for rep in reports:
+        rep["floor_ms_per_rep"] = round(floor * 1e3, 4)
+        rep["reps"] = reps
     return reports
 
 

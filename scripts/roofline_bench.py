@@ -29,7 +29,7 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--reps", type=int, default=0,
                    help="iterations inside the timing scan "
-                        "(default 32 TPU / 2 CPU)")
+                        "(default 256 TPU / 2 CPU)")
     p.add_argument("--out", default="docs/roofline_r4.json")
     args = p.parse_args(argv)
 
@@ -44,7 +44,7 @@ def main(argv=None) -> int:
     from icp4dradar_tpu.utils import roofline
 
     backend = jax.default_backend()
-    reps = args.reps or (32 if backend == "tpu" else 2)
+    reps = args.reps or (256 if backend == "tpu" else 2)
     print(f"backend: {backend} reps: {reps}", file=sys.stderr)
     if backend == "tpu":
         reports = roofline.measure_hot_kernels(reps=reps)
