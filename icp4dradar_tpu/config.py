@@ -165,6 +165,22 @@ class TrackingConfig:
     # health signal: default off; the correction-vs-Doppler-prior gates
     # above carry the rejection (models/scan_to_scan.py::_gate_relative).
     s2s_max_fitness: float = float("inf")
+    # scan-to-scan suspect-PAIR detector: ICP fitness (ungated mean d^2)
+    # beyond this marks the pair corrupt (sensor glitch / interference
+    # burst — a structureless cloud cannot align onto a structured one).
+    # Suspect pairs get their delta replaced by the last ACCEPTED pair's
+    # delta (motion hold), NOT by the Doppler prior: a corrupt frame
+    # corrupts its own velocity estimate, so the prior is no safer than
+    # the ICP result it would replace (measured r4: prior-fallback gating
+    # made a corrupted-frame 512-run WORSE than blind, 28.3 m vs 20.6 m;
+    # motion hold contains it). Separation is wide: healthy pairs measure
+    # 0.03-2 across the scenario grid (including 35% dynamics), pairs
+    # touching a structureless frame 33-1000+. This composes with the
+    # correction gates above: fitness breach -> trust nothing from the
+    # pair (motion hold); fitness fine but correction implausible ->
+    # scans are structured, the Doppler prior is credible (prior
+    # fallback). inf disables (reference parity).
+    s2s_suspect_fitness: float = 25.0
 
 
 @dataclass(frozen=True)

@@ -214,6 +214,30 @@ def run_scan_to_scan(
     # whole trajectory's anchor
     T_rel = T_rel.at[0].set(jnp.eye(4, dtype=T_rel.dtype))
 
+    # Suspect-pair containment (TrackingConfig.s2s_suspect_fitness): a
+    # corrupt frame (structureless returns) poisons BOTH the ICP delta and
+    # its own Doppler velocity, so _gate_relative's prior fallback is no
+    # safer than the thing it rejects (measured: prior-fallback gating made
+    # a corrupted 512-run WORSE than blind). An unalignable pair shows up
+    # as fitness orders of magnitude above healthy (0.03-2 vs 33-1000+);
+    # replace such pairs with the last healthy ACCEPTED delta (motion
+    # hold) via an associative last-valid scan — stays frame-parallel.
+    import math as _math
+    suspect_gate = float(cfg.tracking.s2s_suspect_fitness)
+    if _math.isfinite(suspect_gate):
+        suspect = fitness > suspect_gate
+        ok = accepted & ~suspect
+        ok = ok.at[0].set(True)                        # identity seed
+
+        def last_ok(a, b):
+            aT, aok = a
+            bT, bok = b
+            return (jnp.where(bok[..., None, None], bT, aT), aok | bok)
+
+        held_T, _ = jax.lax.associative_scan(last_ok, (T_rel, ok))
+        T_rel = jnp.where(suspect[:, None, None], held_T, T_rel)
+        accepted = accepted & ~suspect
+
     # Phase 3: pose accumulation T_k = T_1 ... T_k is an associative prefix
     # product — parallel scan instead of a serial chain.
     world_T = jax.lax.associative_scan(jnp.matmul, T_rel)

@@ -13,6 +13,13 @@ the TPU-native formulation:
 - per iteration ONE kernel computes: transform + NN against voxel means +
   Mahalanobis Gauss-Newton accumulators. Only 30 scalars per source block
   leave the kernel: packed H (21), g (6), cost, weight sum, distance sum.
+- NN selection (r4 structure, measured 1.32x over r3): exact-f32 squared
+  distances, then a (d2 <= min) one-hot WITHOUT the exact-first iota/==
+  passes — exact ties (measure-zero beyond padded rows) select together
+  and their payloads average via a count column. A bf16 MXU score variant
+  (|t|^2 - 2 t.p as one matmul) measured 1.46x on the kernel but cost 31%
+  more GN iterations and 25x worse fitness e2e — selection quality is NOT
+  tolerant of bf16 score rounding at sector coordinate scale; rejected.
 
 Cost model per correspondence: r = mu_vox - T p,
 M = (C_vox + R C_p R^T + eps I)^-1,  J = [-I | hat(Tp)],
@@ -138,24 +145,33 @@ def _make_vgicp_kernel(max_d2: float, cov_eps: float, use_gate: bool):
 
         @pl.when(do_nn)
         def _():
-            t = tgt_ref[:]                # (TM, 10): mean3, cov6, penalty
-            # NN against this tile's voxel means (K=3 MXU cross-term
-            # measured slower — see icp_fused.py note)
+            # tgt tile (TM, 11): mean3, cov6, penalty, ones
+            t = tgt_ref[:]
+            # exact f32 squared distances (3 VPU passes); selection via a
+            # (d2 <= min) one-hot with tie-count averaging — drops the
+            # exact-first iota/== passes of the r1-r3 structure (measured
+            # 1.32x with the r4 tiles). Exact f32 ties beyond padded rows
+            # are measure-zero; when they DO occur the tied voxels'
+            # payloads average, which the Mahalanobis gate treats like any
+            # near-equidistant correspondence. On an all-dead tile every
+            # d2 saturates to the 1e30 penalty (f32 absorbs the real
+            # distances) — the averaged payload is meaningless but its
+            # distance stays 1e30, so it never wins the running best.
             d2 = jnp.zeros((tm, ts), jnp.float32)
             for k in range(3):
                 diff = t[:, k:k + 1] - p[k][None, :]
                 d2 += diff * diff
             d2 += t[:, 9][:, None]
             dmin_j = jnp.min(d2, axis=0)
-            rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-            arg = jnp.min(jnp.where(d2 <= dmin_j[None, :], rows, tm), axis=0)
-            onehot = (rows == arg[None, :]).astype(jnp.float32)
-            # matched mean+cov payload via ONE MXU matmul t^T @ onehot
-            # instead of nine (TM, TS) one-hot reduce passes on the VPU
-            tsel = jax.lax.dot_general(
-                t[:, :9], onehot, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                              # (9, TS)
+            onehot = (d2 <= dmin_j[None, :]).astype(jnp.float32)
+            # matched mean+cov payload (+ tie count) via ONE MXU matmul
+            # [t | ones]^T @ onehot instead of per-column VPU reductions
+            tsel10 = jax.lax.dot_general(
+                jnp.concatenate([t[:, :9], t[:, 10:11]], axis=1),
+                onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (10, TS)
+            cnt = jnp.maximum(tsel10[9], 1.0)
+            tsel = tsel10[:9] / cnt[None, :]
             payload_j = jnp.concatenate([dmin_j[None, :], tsel], axis=0)
             better = payload_j[0, :] < best_ref[i, 0, :]
             best_ref[i, :, :] = jnp.where(better[None, :], payload_j,
@@ -298,7 +314,7 @@ def vgicp_iteration(
     tgt_mask: jnp.ndarray,
     max_correspondence_dist: float = 2.0,
     cov_eps: float = 1e-3,
-    ts: int = 512,
+    ts: int = 2048,
     interpret: bool = False,
     tgt_count: Optional[jnp.ndarray] = None,
     return_best: bool = False,
@@ -329,21 +345,25 @@ def vgicp_iteration(
         axis=-1,
     )
     src10 = jnp.pad(src10, ((0, pad_n), (0, 0))).T          # (10, Np)
-    tm_tile = min(2048, m + ((-m) % 8))
+    # finer target tiles than r3 (1024 vs 2048): measured faster with the
+    # wide source blocks AND doubles the dead-tile skip granularity on
+    # sparse submaps
+    tm_tile = min(1024, m + ((-m) % 8))
     pad_m = (-m) % tm_tile
     pen = jnp.where(tgt_mask > 0.5, 0.0, _BIG).astype(jnp.float32)
-    tgt10 = jnp.concatenate(
-        [tgt_mean.astype(jnp.float32), tgt_cov6.astype(jnp.float32),
-         pen[:, None]],
+    tmean32 = tgt_mean.astype(jnp.float32)
+    ones = jnp.ones((tmean32.shape[0], 1), jnp.float32)
+    tgt11 = jnp.concatenate(
+        [tmean32, tgt_cov6.astype(jnp.float32), pen[:, None], ones],
         axis=-1,
     )
-    tgt10 = jnp.pad(tgt10, ((0, pad_m), (0, 0)))
-    tgt10 = tgt10.at[m:, 9].set(_BIG)
+    tgt11 = jnp.pad(tgt11, ((0, pad_m), (0, 0)))
+    tgt11 = tgt11.at[m:, 9].set(_BIG)
     T16 = T.astype(jnp.float32).reshape(1, 16)
 
     np_ = src10.shape[1]
     ns = np_ // ts
-    nt = tgt10.shape[0] // tm_tile
+    nt = tgt11.shape[0] // tm_tile
     cnt = jnp.reshape(tgt_count.astype(jnp.int32), (1, 1))
     use_gate = gate_axis is not None
     if use_gate:
@@ -351,8 +371,8 @@ def vgicp_iteration(
         # exactness of the skip test |a.(p-q)| <= |p-q| requires ||a|| <= 1;
         # normalize so callers may pass any direction vector
         axis2 = axis2 / jnp.maximum(jnp.linalg.norm(axis2), 1e-12)
-        u_t = tgt10[:, 0] * axis2[0, 0] + tgt10[:, 1] * axis2[0, 1]
-        live = (tgt10[:, 9] < float(_BIG) * 0.5)
+        u_t = tgt11[:, 0] * axis2[0, 0] + tgt11[:, 1] * axis2[0, 1]
+        live = (tgt11[:, 9] < float(_BIG) * 0.5)
         u_lo = jnp.where(live, u_t, 1e30).reshape(nt, tm_tile).min(axis=1)
         u_hi = jnp.where(live, u_t, -1e30).reshape(nt, tm_tile).max(axis=1)
         bounds = jnp.stack([u_lo, u_hi], axis=-1)            # (nt, 2)
@@ -370,7 +390,7 @@ def vgicp_iteration(
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((10, ts), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm_tile, 10), lambda i, j: (j, 0),
+            pl.BlockSpec((tm_tile, 11), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -384,7 +404,7 @@ def vgicp_iteration(
             jax.ShapeDtypeStruct((ns, _NOUT), jnp.float32),
         ],
         interpret=interpret,
-    )(cnt, bounds, axis2, T16, src10, tgt10)
+    )(cnt, bounds, axis2, T16, src10, tgt11)
     acc = jnp.sum(out, axis=0)
     unpacked = _unpack_accumulators(acc, src_xyz.dtype)
     return unpacked + (best,) if return_best else unpacked
@@ -409,9 +429,13 @@ def vgicp_iteration_frozen(
     payload from a prior vgicp_iteration sweep) -> same outputs, no NN
     sweep. With a good prior the matched voxel rarely changes between
     consecutive GN steps, so alternating sweep/frozen halves the kernel
-    cost at equal iteration count (gating re-checks the fresh residual)."""
+    cost at equal iteration count (gating re-checks the fresh residual).
+
+    The source block size is taken from `best`'s own (ns, 10, ts) layout —
+    it MUST match the sweep that produced it, so the `ts` argument is only
+    a fallback for interpret-mode tests that pass both explicitly."""
     n = src_xyz.shape[0]
-    ts = min(ts, max(8, n))
+    ts = best.shape[2] if best.ndim == 3 else min(ts, max(8, n))
     pad_n = (-n) % ts
     src10 = jnp.concatenate(
         [src_xyz.astype(jnp.float32),

@@ -21,22 +21,24 @@ Peak numbers (TPU v5e, single chip) and the assumptions behind them:
   all count as 1 FLOP — the roofline convention for predication-heavy code.
 - HBM: 819 GB/s, 16 GB (published).
 - Fixed-op dispatch floor: every gather/scatter/sort dispatch costs
-  ~0.13–0.25 ms nearly independent of row count (measured on this chip,
-  CLAUDE.md; 2048-row gather 0.147 ms == 262k-row scatter). Kernels built
-  from few large ops hit FLOP/byte walls; kernels built from many small
-  ops hit this wall first.
+  ~0.08 ms nearly independent of row count (re-measured r4 with the
+  dispatch-bias-corrected harness; the r1-r3 figure of 0.13-0.25 ms
+  included ~25/reps ms of tunnel dispatch latency). Kernels built from
+  few large ops hit FLOP/byte walls; kernels built from many small ops
+  hit this wall first.
 
 FLOP models (conventions: 1 compare/select/min = 1 FLOP; mul+add = 2):
 
 - NN kernel (ops/knn.py::_nn_kernel), per (src N x tgt M) pair:
   d2 accumulation 3x(sub+mul+add) = 9, penalty add 1, min-reduce 1,
   argmin (where+iota-min) 2  ->  ~13 VPU FLOPs per pair.
-- VGICP sweep (ops/vgicp_fused.py::_make_vgicp_kernel), per pair:
-  the same 13 VPU FLOPs for distance+argmin+merge, plus the one-hot
-  payload contraction t[:, :9]^T @ onehot = 2*9 = 18 MXU FLOPs per pair,
-  plus ~300 VPU FLOPs per *source point* for the Mahalanobis GN
-  accumulator tail (covariance rotation 75, 3x3 inverse ~40, H/g
-  assembly ~185 — counted off _gn_accumulators).
+- VGICP sweep (ops/vgicp_fused.py::_make_vgicp_kernel), per pair
+  (r4 structure: exact-f32 distances, tie-averaging one-hot): d2
+  accumulation 3x(sub+mul+add) = 9, penalty add 1, min-reduce 1,
+  (<=)-onehot 1 -> 12 VPU FLOPs; payload contraction [t|ones]^T @ onehot
+  = 2*10 = 20 f32 MXU FLOPs; plus ~300 VPU FLOPs per *source point* for
+  the Mahalanobis GN accumulator tail (covariance rotation 75, 3x3
+  inverse ~40, H/g assembly ~185 — counted off _gn_accumulators).
 - Insert chain (mapping/voxel_hash.py::voxel_map_insert): FLOPs are
   negligible; the cost model is OP COUNT x fixed dispatch floor plus one
   lexicographic sort. Per call: 1 six-column sort, ceil(max_probes/W)
@@ -53,7 +55,7 @@ V5E_MXU_BF16_TFLOPS = 197.0
 V5E_MXU_F32_TFLOPS = V5E_MXU_BF16_TFLOPS / 6.0   # highest-precision bound
 V5E_VPU_F32_TFLOPS = 6.1
 V5E_HBM_GBPS = 819.0
-FIXED_OP_MS = 0.15          # measured mid-range gather/scatter dispatch
+FIXED_OP_MS = 0.08          # r4 corrected-harness gather/scatter floor
 
 
 @dataclass(frozen=True)
@@ -117,20 +119,21 @@ def nn_kernel_roofline(n: int, m: int, ts: int = 512,
                           hbm_bytes=bytes_)
 
 
-def vgicp_sweep_roofline(n: int, m: int, ts: int = 512,
-                         tm: int = 2048) -> KernelRoofline:
-    """One fused VGICP NN-sweep + GN-accumulate pass (ops/vgicp_fused.py)."""
+def vgicp_sweep_roofline(n: int, m: int, ts: int = 2048,
+                         tm: int = 1024) -> KernelRoofline:
+    """One fused VGICP NN-sweep + GN-accumulate pass (ops/vgicp_fused.py,
+    r4 exact-distance + tie-averaging structure)."""
     ts = min(ts, max(8, n))
     np_ = n + (-n) % ts
     tmt = min(tm, m + (-m) % 8)
     mp_ = m + (-m) % tmt
     pairs = float(np_) * mp_
     ns, nt = np_ // ts, mp_ // tmt
-    bytes_ = nt * np_ * 40.0 + ns * mp_ * 40.0    # 10-col f32 payloads
+    bytes_ = nt * np_ * 40.0 + ns * mp_ * 44.0    # 10/11-col f32 payloads
     return KernelRoofline(
         "vgicp_sweep",
-        vpu_flops=13.0 * pairs + 300.0 * np_,
-        mxu_flops=18.0 * pairs,
+        vpu_flops=12.0 * pairs + 300.0 * np_,
+        mxu_flops=20.0 * pairs,
         hbm_bytes=bytes_,
     )
 

@@ -372,7 +372,8 @@ def main() -> int:
     parity_cfg = cfg.override(**{
         "tracking.max_fitness": float("inf"),
         "tracking.max_correction_t": float("inf"),
-        "tracking.max_correction_rot_deg": float("inf")})
+        "tracking.max_correction_rot_deg": float("inf"),
+        "tracking.s2s_suspect_fitness": float("inf")})
     run_s2s_blind = jax.jit(
         lambda s: run_scan_to_scan(s, parity_cfg,
                                    use_doppler_prior=True).world_T)

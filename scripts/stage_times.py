@@ -139,11 +139,15 @@ def main(argv=None) -> int:
             cov_eps=gicp.cov_epsilon)[2],
         T0, scan.xyz, scan.mask, cov6, best0))
 
+    # init from the true pose: in-pipeline registration starts from a
+    # prediction within ~0.1 m, not from identity 10 m away (an identity
+    # seed here measured 19 ms of non-representative GN iterations)
+    T_pred = jnp.asarray(seq.poses[10], jnp.float32)
     report("vgicp_align_full", timed(
-        lambda e, sx, sm, c6, tm_, tc, tk: jnp.sum(vgicp_align(
-            sx + e, tm_, tc, sm, tk, src_cov6=c6,
+        lambda e, sx, sm, c6, tm_, tc, tk, Tp: jnp.sum(vgicp_align(
+            sx + e, tm_, tc, sm, tk, src_cov6=c6, init_transform=Tp,
             cfg=gicp, tgt_count=sub_n).transform),
-        scan.xyz, scan.mask, cov6, sub_mean, sub_cov, submask))
+        scan.xyz, scan.mask, cov6, sub_mean, sub_cov, submask, T_pred))
 
     report("insert", timed(
         lambda e, vm, s, c: jnp.sum(voxel_map_insert(

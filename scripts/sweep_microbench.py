@@ -68,21 +68,33 @@ def timeit_chain(step, T0, reps, floor_ms=0.0, best_of=5):
 # ---------------------------------------------------------------- variants
 
 
-def _nn_block(t, p, tm):
+def _nn_block(t, p, tm, lte=False):
     """Shipped NN structure: 3 squared-diff passes + min/arg/onehot +
-    payload matmul. Returns (10, ts) payload rows [d2, mean3, cov6]."""
+    payload matmul. Returns (10, ts) payload rows [d2, mean3, cov6].
+    `lte`: drop the iota/== exact-first pass — select with (d2 <= dmin)
+    and tie-average the payload via the count column (t must carry a ones
+    column at index 11)."""
     d2 = jnp.zeros((tm, p[0].shape[0]), jnp.float32)
     for k in range(3):
         diff = t[:, k:k + 1] - p[k][None, :]
         d2 += diff * diff
     d2 += t[:, 9][:, None]
     dmin_j = jnp.min(d2, axis=0)
-    rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-    arg = jnp.min(jnp.where(d2 <= dmin_j[None, :], rows, tm), axis=0)
-    onehot = (rows == arg[None, :]).astype(jnp.float32)
-    tsel = jax.lax.dot_general(
-        t[:, :9], onehot, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if lte:
+        onehot = (d2 <= dmin_j[None, :]).astype(jnp.float32)
+        tsel10 = jax.lax.dot_general(
+            jnp.concatenate([t[:, :9], t[:, 11:12]], axis=1),
+            onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        cnt = jnp.maximum(tsel10[9], 1.0)
+        tsel = tsel10[:9] / cnt[None, :]
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        arg = jnp.min(jnp.where(d2 <= dmin_j[None, :], rows, tm), axis=0)
+        onehot = (rows == arg[None, :]).astype(jnp.float32)
+        tsel = jax.lax.dot_general(
+            t[:, :9], onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     return jnp.concatenate([dmin_j[None, :], tsel], axis=0)
 
 
@@ -120,9 +132,9 @@ def _nn_block_mxu(t, p, tm, precision=jax.lax.Precision.DEFAULT, lte=False):
     return jnp.concatenate([d2w[None, :], tsel], axis=0)
 
 
+# Mosaic lowers only DEFAULT (1-pass bf16) and HIGHEST (6-pass) in-kernel
 _MXU_MODES = {
     "mxu": (jax.lax.Precision.DEFAULT, False),
-    "mxuh": (jax.lax.Precision.HIGH, False),
     "mxux": (jax.lax.Precision.HIGHEST, False),
     "mxul": (jax.lax.Precision.DEFAULT, True),
 }
@@ -157,6 +169,8 @@ def make_sweep_kernel(variant, max_d2, cov_eps, ts, tm):
             if mxu:
                 prec, lte = _MXU_MODES[variant]
                 payload_j = _nn_block_mxu(t, p, tm, prec, lte)
+            elif variant == "xlte":
+                payload_j = _nn_block(t, p, tm, lte=True)
             else:
                 payload_j = _nn_block(t, p, tm)
             better = payload_j[0, :] < best_ref[i, 0, :]
@@ -281,11 +295,13 @@ def main():
         ("mxu ts=512 tm=2048", 512, 2048, tgt12),
         ("mxu ts=1024 tm=2048", 1024, 2048, tgt12),
         ("mxu ts=2048 tm=1024", 2048, 1024, tgt12),
-        ("mxuh ts=2048 tm=1024", 2048, 1024, tgt12),
         ("mxux ts=2048 tm=1024", 2048, 1024, tgt12),
+        ("mxux ts=1024 tm=2048", 1024, 2048, tgt12),
         ("mxul ts=2048 tm=1024", 2048, 1024, tgt12),
-        ("mxuh ts=1024 tm=2048", 1024, 2048, tgt12),
         ("mxul ts=1024 tm=2048", 1024, 2048, tgt12),
+        ("xlte ts=512 tm=2048", 512, 2048, tgt12),
+        ("xlte ts=1024 tm=2048", 1024, 2048, tgt12),
+        ("xlte ts=2048 tm=1024", 2048, 1024, tgt12),
     ):
         variant = name.split()[0]
         step = make_variant_step(variant, src10, pack, cnt, ts, tm)

@@ -312,6 +312,49 @@ class TestTrackingGate:
         # recovered after the outage: final frames back under 0.5 m
         assert err[-3:].max() < 0.5, err
 
+    def test_s2s_motion_hold_contains_corrupt_frames(self):
+        """Scan-to-scan suspect-pair containment (TrackingConfig.
+        s2s_suspect_fitness): structureless frames poison both the ICP
+        delta AND their own Doppler prior, so the containment replaces
+        pairs touching them with the last accepted delta (motion hold).
+        The held trajectory must beat blind composition, and healthy
+        frames must be untouched."""
+        seq = make_seq(frames=24)
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        rng = np.random.default_rng(3)
+        xyz = np.asarray(scans.xyz).copy()
+        # frames 10 and 16: structureless garbage (interference burst)
+        for b in (10, 16):
+            xyz[b] = rng.uniform(-60, 60, xyz[b].shape).astype(xyz.dtype)
+        corrupt = scans.replace(xyz=jnp.asarray(xyz))
+
+        cfg = small_cfg()
+        blind_cfg = cfg.override(**{
+            "tracking.max_correction_t": float("inf"),
+            "tracking.max_correction_rot_deg": float("inf"),
+            "tracking.s2s_suspect_fitness": float("inf")})
+        held = run_scan_to_scan(corrupt, cfg, use_doppler_prior=True)
+        blind = run_scan_to_scan(corrupt, blind_cfg, use_doppler_prior=True)
+        gt = seq.poses[:, :3, 3]
+        ate_held = ate_rmse(np.asarray(held.world_T)[:, :3, 3], gt,
+                            align=False)
+        ate_blind = ate_rmse(np.asarray(blind.world_T)[:, :3, 3], gt,
+                             align=False)
+        assert np.isfinite(np.asarray(held.world_T)).all()
+        assert ate_held < ate_blind, (ate_held, ate_blind)
+        assert ate_held < 1.0, ate_held       # motion hold tracks truth
+        # suspect pairs are reported rejected
+        acc = np.asarray(held.accepted)
+        assert not acc[10] and not acc[11] and not acc[16] and not acc[17]
+
+        # healthy sequence: containment is a no-op vs ratio disabled
+        a = run_scan_to_scan(scans, cfg, use_doppler_prior=True)
+        b = run_scan_to_scan(
+            scans, cfg.override(**{"tracking.s2s_suspect_fitness": float("inf")}),
+            use_doppler_prior=True)
+        np.testing.assert_allclose(np.asarray(a.world_T),
+                                   np.asarray(b.world_T), atol=1e-6)
+
     def test_inf_gates_are_parity_noop(self):
         from icp4dradar_tpu.config import PipelineConfig
 
