@@ -193,6 +193,44 @@ class TestVgicpFrozen:
         assert float(w2) == float(w1)
         np.testing.assert_allclose(float(d2), float(d1), rtol=1e-4)
 
+    def test_frozen_derives_block_layout_from_payload(self, rng):
+        """vgicp_iteration_frozen must take its source block size from the
+        best payload's own (ns, 10, ts) layout, NOT from its `ts` argument:
+        a mismatched default measured an out-of-bounds block read that
+        aborted the device (r4). Feed a payload produced at one ts to a
+        frozen call whose explicit ts disagrees — the result must equal the
+        matched-layout call."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.geom import se3_exp
+        from icp4dradar_tpu.ops.vgicp_fused import (
+            radar_point_covariances_packed,
+            vgicp_iteration,
+            vgicp_iteration_frozen,
+        )
+
+        src = rng.uniform(-20, 20, (256, 3)).astype(np.float32)
+        sm = np.ones(256, np.float32)
+        scov = radar_point_covariances_packed(jnp.asarray(src))
+        tgt = rng.uniform(-20, 20, (512, 3)).astype(np.float32)
+        tcov = np.abs(rng.normal(0.05, 0.02, (512, 6))).astype(np.float32)
+        tmask = np.ones(512, np.float32)
+        T = se3_exp(jnp.asarray([0.1, -0.2, 0.05, 0.02, 0.0, 0.1],
+                                dtype=jnp.float32))
+        *_, best = vgicp_iteration(
+            T, jnp.asarray(src), jnp.asarray(sm), scov, jnp.asarray(tgt),
+            jnp.asarray(tcov), jnp.asarray(tmask),
+            ts=128, interpret=True, return_best=True)
+        assert best.shape == (2, 10, 128)
+        ref = vgicp_iteration_frozen(
+            T, jnp.asarray(src), jnp.asarray(sm), scov, best,
+            ts=128, interpret=True)
+        got = vgicp_iteration_frozen(
+            T, jnp.asarray(src), jnp.asarray(sm), scov, best,
+            ts=64, interpret=True)          # conflicting ts must be ignored
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
 
 class TestVgicpBandGating:
     def test_gated_sweep_matches_ungated_on_sorted_inputs(self, rng):
