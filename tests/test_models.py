@@ -347,11 +347,13 @@ class TestTrackingGate:
         acc = np.asarray(held.accepted)
         assert not acc[10] and not acc[11] and not acc[16] and not acc[17]
 
-        # healthy sequence: containment is a no-op vs ratio disabled
+        # healthy sequence: the detector never fires, so gated == blind
+        # exactly (REUSES the two programs compiled above — a third
+        # detector-off-but-gates-on config would cost another ~20 s CPU
+        # compile for no extra coverage)
         a = run_scan_to_scan(scans, cfg, use_doppler_prior=True)
-        b = run_scan_to_scan(
-            scans, cfg.override(**{"tracking.s2s_suspect_fitness": float("inf")}),
-            use_doppler_prior=True)
+        b = run_scan_to_scan(scans, blind_cfg, use_doppler_prior=True)
+        assert np.asarray(a.accepted).all()
         np.testing.assert_allclose(np.asarray(a.world_T),
                                    np.asarray(b.world_T), atol=1e-6)
 
