@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -293,10 +295,19 @@ def optimize_pose_graph_block(
 ) -> Tuple[PoseGraph, jnp.ndarray]:
     """GN to convergence on the block-sparse system. Drop-in replacement for
     optimize_pose_graph at chain+loops structure; graph.rel is split host-
-    side (concrete indices) into chain / loop sets once. For use inside jit,
-    split first and call optimize_pose_graph_block_split."""
+    side (concrete indices) into chain / loop sets once, then the solve
+    dispatches through an lru-cached jit keyed by cfg (an eager call pays
+    ~25 s trace + op-by-op run on CPU, and a ~25 ms tunnel dispatch per op
+    on TPU). For use inside jit, split first and call
+    optimize_pose_graph_block_split."""
     chain, loops = split_chain_loops(graph.rel)
-    return optimize_pose_graph_block_split(graph, chain, loops, cfg)
+    return _jitted_block_split(cfg)(graph, chain, loops)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_block_split(cfg: PoseGraphConfig):
+    return jax.jit(lambda g, c, l: optimize_pose_graph_block_split(
+        g, c, l, cfg))
 
 
 def optimize_pose_graph_block_split(

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -334,7 +336,24 @@ def optimize_pose_graph(
     graph: PoseGraph,
     cfg: PoseGraphConfig = PoseGraphConfig(),
 ) -> Tuple[PoseGraph, jnp.ndarray]:
-    """Run GN to convergence (fixed cap + epsilon). Returns (graph, cost)."""
+    """Run GN to convergence (fixed cap + epsilon). Returns (graph, cost).
+
+    Dispatches through an lru-cached jit keyed by cfg: an eager call cost
+    ~25 s trace + ~10 s op-by-op run for a 48-keyframe all-factor-types
+    graph on CPU (and a ~25 ms tunnel dispatch PER OP on TPU); compiled it
+    is one dispatch, and repeat calls at the same shapes are pure run."""
+    return _jitted_optimize_pose_graph(cfg)(graph)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_optimize_pose_graph(cfg: PoseGraphConfig):
+    return jax.jit(lambda g: _optimize_pose_graph_impl(g, cfg))
+
+
+def _optimize_pose_graph_impl(
+    graph: PoseGraph,
+    cfg: PoseGraphConfig,
+) -> Tuple[PoseGraph, jnp.ndarray]:
 
     def cond(state):
         _, it, delta = state

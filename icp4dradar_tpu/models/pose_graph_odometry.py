@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from icp4dradar_tpu.config import PipelineConfig, PoseGraphConfig
-from icp4dradar_tpu.graph import PoseGraph, RelPoseFactors
+from icp4dradar_tpu.graph import (
+    PoseGraph,
+    RelPoseFactors,
+    optimize_pose_graph_block,
+)
 from icp4dradar_tpu.io.scan import RadarScan
 from icp4dradar_tpu.models.scan_to_scan import run_scan_to_scan
 from icp4dradar_tpu.registration.icp import icp_point_to_point
@@ -80,30 +84,6 @@ def _jitted_s2m_front_end(cfg: PipelineConfig, block: int):
         return jax.jit(lambda s: run_scan_to_map_blocked(
             s, cfg, block=block, use_const_velocity_rot=True)[1].world_T)
     return jax.jit(lambda s: run_scan_to_map(s, cfg)[1].world_T)
-
-
-@functools.lru_cache(maxsize=8)
-def _jitted_block_opt(pg_cfg):
-    """One compiled block-GN optimizer per PoseGraphConfig. The solver
-    core is jittable (optimize_pose_graph_block_split); running it EAGERLY
-    on the TPU costs one ~25 ms tunnel dispatch per op — measured 21 s
-    steady-state for the 64-frame bag CLI, almost entirely eager graph /
-    mining dispatches (docs r4). Factor COUNT changes recompile (shapes),
-    but a steady-state replay of the same sequence reuses the cache."""
-    from icp4dradar_tpu.graph.block_solver import (
-        optimize_pose_graph_block_split,
-    )
-
-    return jax.jit(lambda graph, chain, loops:
-                   optimize_pose_graph_block_split(graph, chain, loops,
-                                                   pg_cfg))
-
-
-def _optimize_block_cached(graph, pg_cfg):
-    from icp4dradar_tpu.graph.block_solver import split_chain_loops
-
-    chain, loops = split_chain_loops(graph.rel)
-    return _jitted_block_opt(pg_cfg)(graph, chain, loops)
 
 
 @functools.lru_cache(maxsize=8)
@@ -382,8 +362,12 @@ def run_pose_graph_odometry(
                 # block-sparse solver: O(K) in keyframes where the dense
                 # 6Kx6K path is O(K^2) memory — equality-tested against it
                 # (tests/test_graph.py::TestBlockSolver)
-                graph, cost = _optimize_block_cached(graph,
-                                                     cfg.pose_graph)
+                # optimize_pose_graph_block jits internally (lru-cached
+                # per config): eager graph solves cost ~25 ms/op through
+                # the tunnel -- measured 21 s steady-state for the
+                # 64-frame bag CLI before r4 (docs/PERFORMANCE.md)
+                graph, cost = optimize_pose_graph_block(graph,
+                                                        cfg.pose_graph)
             kf_cur = np.asarray(graph.poses)
             cost_out = float(cost)
             frames_cur = reanchor(kf_cur)
@@ -419,8 +403,8 @@ def run_pose_graph_odometry(
                 graph_g, _ = distributed_optimize_pose_graph_block(
                     graph_g, mesh, cfg.pose_graph)
             else:
-                graph_g, _ = _optimize_block_cached(graph_g,
-                                                    cfg.pose_graph)
+                graph_g, _ = optimize_pose_graph_block(graph_g,
+                                                       cfg.pose_graph)
             t_err, r_err = loop_residuals(np.asarray(graph_g.poses))
             # span-scaled gates (see docstring): drift accumulated around a
             # loop grows with its frame span, and the gating solution leaves
