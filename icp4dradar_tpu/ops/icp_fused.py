@@ -44,7 +44,7 @@ def _make_icp_moments_kernel(max_d2: float):
 
         Tm = T_ref[0, :]                  # (16,) row-major 4x4
         s4 = src_ref[:]                   # (4, TS): x,y,z,mask
-        t4 = tgt_ref[:]                   # (TM, 4): x,y,z,penalty
+        t5 = tgt_ref[:]                   # (TM, 5): x,y,z,penalty,ones
 
         # moved source p = R s + t, per coordinate row (lane-parallel)
         p = [
@@ -60,21 +60,25 @@ def _make_icp_moments_kernel(max_d2: float):
         # passes and K pads to 128 — 43x contraction waste.)
         d2 = jnp.zeros((tm, ts), jnp.float32)
         for k in range(3):
-            diff = t4[:, k:k + 1] - p[k][None, :]
+            diff = t5[:, k:k + 1] - p[k][None, :]
             d2 += diff * diff
-        d2 += t4[:, 3][:, None]
+        d2 += t5[:, 3][:, None]
 
         dmin = jnp.min(d2, axis=0)                               # (TS,)
-        rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-        arg = jnp.min(jnp.where(d2 <= dmin[None, :], rows, tm), axis=0)
-        onehot = (rows == arg[None, :]).astype(jnp.float32)      # (TM, TS)
-        # matched-target coords via ONE MXU matmul t4^T @ onehot instead of
-        # three (TM, TS) one-hot reduce passes on the VPU
+        # tie-averaging (d2 <= min) one-hot (the r4 vgicp structure): drops
+        # the exact-first iota/== passes; exact-f32 ties select together
+        # and their coordinates average via the ones column — equivalent to
+        # splitting the correspondence weight among exactly-equidistant
+        # targets, which the Horn moments accept unchanged
+        onehot = (d2 <= dmin[None, :]).astype(jnp.float32)       # (TM, TS)
+        # matched-target coords + tie count via ONE MXU matmul t5^T @ onehot
+        # instead of per-coordinate (TM, TS) one-hot reduce passes
         qsel = jax.lax.dot_general(
-            t4, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+            t5, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                        # (4, TS)
-        q = [qsel[k] for k in range(3)]
+        )                                                        # (5, TS)
+        cnt = jnp.maximum(qsel[4], 1.0)
+        q = [qsel[k] / cnt for k in range(3)]
 
         w = w_src * (dmin < gate)
 
@@ -109,7 +113,7 @@ def icp_iteration_moments(
     tgt_xyz: jnp.ndarray,
     tgt_mask: jnp.ndarray,
     max_correspondence_dist: float = 1e8,
-    ts: int = 512,
+    ts: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One fused pass -> (19,) moments
@@ -131,7 +135,8 @@ def icp_iteration_moments(
     tgt_p = jnp.pad(tgt_xyz.astype(jnp.float32), ((0, tm - m), (0, 0)))
     pen = jnp.where(tgt_mask > 0.5, 0.0, _BIG).astype(jnp.float32)
     pen = jnp.pad(pen, (0, tm - m), constant_values=_BIG)
-    tgt4 = jnp.concatenate([tgt_p, pen[:, None]], axis=-1)   # (TM, 4)
+    ones = jnp.ones((tm, 1), jnp.float32)
+    tgt5 = jnp.concatenate([tgt_p, pen[:, None], ones], axis=-1)  # (TM, 5)
     T16 = T.astype(jnp.float32).reshape(1, 16)
 
     np_ = src4.shape[1]
@@ -142,13 +147,13 @@ def icp_iteration_moments(
         in_specs=[
             pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ts), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ns, _NMOM), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ns, _NMOM), jnp.float32),
         interpret=interpret,
-    )(T16, src4, tgt4)
+    )(T16, src4, tgt5)
     moments = jnp.sum(out, axis=0)[:19]
     return moments
 

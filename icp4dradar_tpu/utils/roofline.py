@@ -196,7 +196,9 @@ def measure_hot_kernels(reps: int = 256, n: int = 2048, m: int = 16384,
 
     import numpy as np
 
-    def timed(fn, *args):
+    import functools
+
+    def timed(fn, *args, reps=reps):
         # time to HOST MATERIALIZATION: jax.block_until_ready is a no-op
         # through the axon tunnel (measured; see bench.py note) — np.asarray
         # of the scalar carry faithfully waits for the computation
@@ -209,50 +211,61 @@ def measure_hot_kernels(reps: int = 256, n: int = 2048, m: int = 16384,
             ts.append(time.time() - t0)
         return min(ts) / reps
 
-    def floor_loop(s):
+    def floor_loop(length, s):
         # empty chain with the same scan structure: measures dispatch +
-        # per-iteration loop overhead, subtracted from every kernel time
+        # per-iteration loop overhead, subtracted from every kernel time.
+        # Measured PER LENGTH — the dominant term is dispatch/length.
         def body(acc, _):
             return acc + jnp.sum(s) * 0.0, None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
         return acc
 
-    floor = timed(floor_loop, src)
-
-    def nn_loop(s, t):
+    def nn_loop(length, s, t):
         def body(acc, _):
             _, d = nearest_neighbor_pallas(
                 s + 1e-12 * acc, t, interpret=not on_tpu)
             return jnp.sum(d), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
         return acc
 
-    def vgicp_loop(s, t):
+    def vgicp_loop(length, s, t):
         def body(acc, _):
             H, g, cost, wsum, d2 = vgicp_iteration(
                 T0, s + 1e-12 * acc, mask_n, cov6, t, tcov6, mask_m,
                 interpret=not on_tpu)
             return cost + wsum, None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
         return acc
 
-    def insert_loop(s):
+    def insert_loop(length, s):
         vm0 = voxel_map_create(capacity, 0.5, 8)
         def body(vm, _):
             return voxel_map_insert(vm, s, mask_n), None
-        vm, _ = jax.lax.scan(body, vm0, None, length=reps)
+        vm, _ = jax.lax.scan(body, vm0, None, length=length)
         return jnp.sum(vm.occupied)      # scalar: cheap host materialization
 
+    # Per-kernel rep counts: each kernel's chain must be LONG relative to
+    # the ~25 ms dispatch so the floor subtraction has signal — the NN
+    # kernel at ~0.01 ms/rep needs ~16x more reps than the ~1 ms insert
+    # (a shared count left the nn measurement inside dispatch jitter and
+    # once printed a nonsense 893868%-of-peak reading).
     reports = []
-    dt = timed(nn_loop, src, src[:n])              # s2s: M == N
-    reports.append(nn_kernel_roofline(n, n).report(max(dt - floor, 1e-9)))
-    dt = timed(vgicp_loop, src, tgt)
-    reports.append(vgicp_sweep_roofline(n, m).report(max(dt - floor, 1e-9)))
-    dt = timed(insert_loop, src)
-    reports.append(insert_roofline(n, capacity).report(max(dt - floor, 1e-9)))
-    for rep in reports:
+    floors = {}
+    for name, model, loop, args, scale in (
+        ("nn", nn_kernel_roofline(n, n), nn_loop, (src, src[:n]), 16),
+        ("vgicp", vgicp_sweep_roofline(n, m), vgicp_loop, (src, tgt), 2),
+        ("insert", insert_roofline(n, capacity), insert_loop, (src,), 1),
+    ):
+        length = reps * scale if on_tpu else reps
+        if length not in floors:
+            floors[length] = timed(
+                functools.partial(floor_loop, length), src, reps=length)
+        floor = floors[length]
+        dt = timed(functools.partial(loop, length), *args, reps=length)
+        rep = model.report(max(dt - floor, 1e-9))
         rep["floor_ms_per_rep"] = round(floor * 1e3, 4)
-        rep["reps"] = reps
+        rep["reps"] = length
+        reports.append(rep)
     return reports
 
 
