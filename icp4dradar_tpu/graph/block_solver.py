@@ -299,7 +299,15 @@ def optimize_pose_graph_block(
     dispatches through an lru-cached jit keyed by cfg (an eager call pays
     ~25 s trace + op-by-op run on CPU, and a ~25 ms tunnel dispatch per op
     on TPU). For use inside jit, split first and call
-    optimize_pose_graph_block_split."""
+    optimize_pose_graph_block_split.
+
+    Shape-bucketing assumption: the jit cache keys on cfg, but the traced
+    operands still key on (K, n_loops) SHAPES — every distinct keyframe /
+    loop count pays a fresh trace+compile. Callers that re-solve a GROWING
+    graph (one solve per new keyframe) should pad K and the loop set to
+    size buckets (e.g. next power of two) before calling, or the cache
+    yields no hits and cold TPU compiles dominate. The shipped pipelines
+    solve once per sequence at final K, where this is moot."""
     chain, loops = split_chain_loops(graph.rel)
     return _jitted_block_split(cfg)(graph, chain, loops)
 

@@ -49,6 +49,9 @@ from icp4dradar_tpu.registration.icp import icp_point_to_point
 class ScanToScanState:
     world_T: jnp.ndarray     # (4,4) accumulated odometry (ref currOdom/Rtrans,t)
     frame: jnp.ndarray       # () int32
+    last_delta: jnp.ndarray  # (4,4) last ACCEPTED frame delta (motion hold
+                             # for suspect frames — same containment as the
+                             # batch path's last-valid scan)
 
 
 @struct.dataclass
@@ -68,7 +71,8 @@ class ScanToScanOutput:
 
 
 def scan_to_scan_init(dtype=jnp.float32) -> ScanToScanState:
-    return ScanToScanState(world_T=se3_identity(dtype), frame=jnp.int32(0))
+    return ScanToScanState(world_T=se3_identity(dtype), frame=jnp.int32(0),
+                           last_delta=se3_identity(dtype))
 
 
 def _gate_relative(cfg: PipelineConfig, T_icp, init_T, fitness):
@@ -133,8 +137,20 @@ def scan_to_scan_step(
         init_transform=init_T, cfg=cfg.icp,
     )
     T_rel, accepted = _gate_relative(cfg, res.transform, init_T, res.fitness)
+    # Suspect-pair containment, streaming counterpart of the batch path's
+    # last-valid scan: a corrupt frame poisons BOTH the ICP delta and its
+    # own Doppler velocity, so the prior fallback above is no safer than
+    # what it rejects — hold the last ACCEPTED delta instead (motion hold).
+    import math as _math
+    suspect_gate = float(cfg.tracking.s2s_suspect_fitness)
+    if _math.isfinite(suspect_gate):
+        suspect = res.fitness > suspect_gate
+        T_rel = jnp.where(suspect, state.last_delta, T_rel)
+        accepted = accepted & ~suspect
+    last_delta = jnp.where(accepted, T_rel, state.last_delta)
     world_T = state.world_T @ T_rel             # right-compose (ref :552)
-    new_state = ScanToScanState(world_T=world_T, frame=state.frame + 1)
+    new_state = ScanToScanState(world_T=world_T, frame=state.frame + 1,
+                                last_delta=last_delta)
     out = ScanToScanOutput(
         icp_transform=T_rel,
         world_T=world_T,
@@ -252,4 +268,54 @@ def run_scan_to_scan(
         num_static=jnp.sum(statics, axis=-1),
         converged=converged,
         accepted=accepted,
+    )
+
+
+def run_scan_to_scan_replay(
+    scans: RadarScan,
+    icp_transforms: jnp.ndarray,
+    cfg: PipelineConfig = PipelineConfig(),
+    key: Optional[jax.Array] = None,
+    recorded_fitness: Optional[jnp.ndarray] = None,
+) -> ScanToScanOutput:
+    """Re-drive the pipeline from RECORDED frame-to-frame transforms,
+    skipping registration — the reference's USE_ICP_RESULT record/replay
+    harness (src/iterative_closest_point.cpp:192-206, 523-540: per-frame
+    4x4 + score read back from output_result.csv, ICP `align` bypassed,
+    everything downstream — pose composition, submaps, outputs — re-runs).
+
+    Preprocessing (Doppler fit / static split / LSQ velocity) still runs —
+    in the reference it precedes the bypassed align call — so velocity.txt
+    regenerates; transforms compose BLINDLY (no tracking gate: replay must
+    reproduce the recorded trajectory bit-for-bit, gated or not).
+
+    `icp_transforms`: (F,4,4) relative transforms (read_result_csv order).
+    `recorded_fitness`: optional (F,) recorded scores to carry through."""
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    F = scans.xyz.shape[0]
+    keys = jax.random.split(key, F)
+
+    def pp(scan, k):
+        fit = fit_sine_ransac(scan, k, cfg.doppler)
+        static, _ = static_dynamic_split(scan, fit, cfg.doppler)
+        velocity, _ = lsq_ego_velocity(scan, static)
+        return fit, static, velocity
+
+    fits, statics, velocities = jax.vmap(pp)(scans, keys)
+    T_rel = jnp.asarray(icp_transforms, dtype=scans.xyz.dtype)
+    world_T = jax.lax.associative_scan(jnp.matmul, T_rel)
+    fitness = (jnp.zeros(F, scans.xyz.dtype) if recorded_fitness is None
+               else jnp.asarray(recorded_fitness, scans.xyz.dtype))
+    true_f = jnp.ones(F, bool)
+    return ScanToScanOutput(
+        icp_transform=T_rel,
+        world_T=world_T,
+        velocity=velocities,
+        fitness=fitness,
+        sine_A=fits.A,
+        sine_b=fits.b,
+        num_static=jnp.sum(statics, axis=-1),
+        converged=true_f,
+        accepted=true_f,
     )

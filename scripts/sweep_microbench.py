@@ -227,7 +227,9 @@ def make_variant_step(variant, src10, tgt_pack, cnt, ts, tm):
             ],
         )(cnt, T.reshape(1, 16), src10, tgt_pack)
         acc = jnp.sum(out, axis=0)
-        return acc[0] + jnp.sum(best[:, 0, :]) * 0.0, acc
+        # *1e-30, never *0.0: XLA folds x*0 and would sever the chained
+        # dependence on the `best` payload (CLAUDE.md measurement rule)
+        return acc[0] + jnp.sum(best[:, 0, :]) * 1e-30, acc
 
     return step
 
@@ -253,7 +255,9 @@ def main():
     jtmask = jnp.ones(M, jnp.float32)
     jscov = radar_point_covariances_packed(jsrc)
 
-    floor = timeit_chain(lambda T: jnp.sum(T) * 0.0, T0, reps)
+    # *1e-30, never *0.0: a folded floor chain measures only dispatch,
+    # not the per-iteration scan overhead it must subtract
+    floor = timeit_chain(lambda T: jnp.sum(T) * 1e-30, T0, reps)
     print(f"harness floor (subtracted) {floor:8.4f} ms")
 
     ms = timeit_chain(

@@ -176,3 +176,30 @@ class TestPcd:
         assert len(ds) == 3
         s = ds[1]
         assert float(s.num_valid) == 20.0
+
+    def test_cli_routes_pcd_layout(self, tmp_path, rng):
+        """run_odometry --dataset <folder> must sniff the reference PCD
+        layout (<folder>/pcd/%05d.pcd, ref USE_PCD_FILES at
+        src/iterative_closest_point.cpp:269-299) and route
+        PcdSequenceDataset; --dataset-format pcd forces it."""
+        import argparse
+
+        from icp4dradar_tpu.io import write_pcd
+        from icp4dradar_tpu.models.run_odometry import build_scans
+
+        for k in range(3):
+            cols = {
+                "x": rng.normal(size=16).astype(np.float32),
+                "y": rng.normal(size=16).astype(np.float32),
+                "z": rng.normal(size=16).astype(np.float32),
+                "intensity": rng.uniform(0, 30, 16).astype(np.float32),
+                "doppler": rng.normal(size=16).astype(np.float32),
+            }
+            write_pcd(str(tmp_path / "pcd" / f"{k:05d}.pcd"), cols)
+        for fmt in ("auto", "pcd"):
+            args = argparse.Namespace(
+                bag=None, dataset=str(tmp_path), dataset_format=fmt,
+                max_points=64, synthetic=0, landmarks=0, seed=0)
+            scans, gt, priors = build_scans(args)
+            assert scans.xyz.shape == (3, 64, 3)
+            assert float(scans.mask.sum()) == 48.0
