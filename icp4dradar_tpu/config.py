@@ -216,6 +216,23 @@ class VoxelMapConfig:
     # single-device global budget at saturation — at proportionally more
     # ring-sweep work per frame.
     shard_quota_slack: float = 1.0
+    # voxel-Gaussian fallback: voxels with fewer than stats_min_count
+    # routed points register with an isotropic stats_fallback_var
+    # covariance instead of their (rank-deficient) sample covariance.
+    # Sparse noisy vendors (ti_mmwave: ~41 pts/scan, 1 deg angular noise)
+    # should RAISE the fallback toward the true point-placement variance —
+    # an overconfident thin-voxel map biases the Mahalanobis GN (r5).
+    stats_min_count: float = 3.0
+    stats_fallback_var: float = 0.01
+    # blocked runners only: unique-voxel budget per multi-frame batch
+    # insert. TPU scatter time scales linearly with update rows (r5
+    # measurement: 1.7 ms at 2048 rows -> 9.4 at 16384), so compacting the
+    # deduped leaders to a fixed budget makes the block insert pay for the
+    # voxels it actually touches — consecutive scans revisit mostly the
+    # same voxels, so leaders ~ unique voxels ~ one scan's worth, not
+    # block * scan. Overflow leaders drop for ONE block (hash-order
+    # unbiased; later overlapping blocks re-insert). 0 disables.
+    block_insert_leader_budget: int = 4096
 
 
 @dataclass(frozen=True)
@@ -281,6 +298,15 @@ class PipelineConfig:
     max_points: int = 4096            # padded per-scan point budget
     dtype: str = "float32"
     seed: int = 0
+    # sparse-vendor mitigation (scan-to-map, per-frame runner): register
+    # each frame on the union of the current scan and the previous
+    # (accumulate_scans - 1) scans, re-expressed in the current predicted
+    # frame through their REFINED world poses. Single-chip TI-class radars
+    # (ti_mmwave profile: ~41 pts/scan) underconstrain the 6-DoF GN; k=4
+    # quadruples the constraint count at zero sensor cost. Past scans are
+    # used for REGISTRATION only (they already inserted at their own
+    # frames); 1 disables (default — dense vendors don't need it).
+    accumulate_scans: int = 1
     doppler: DopplerRansacConfig = field(default_factory=DopplerRansacConfig)
     reve: ReveConfig = field(default_factory=ReveConfig)
     icp: IcpConfig = field(default_factory=IcpConfig)

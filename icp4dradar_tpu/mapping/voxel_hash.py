@@ -138,6 +138,7 @@ def voxel_map_insert(
     xyz: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     intensity: Optional[jnp.ndarray] = None,
+    leader_budget: Optional[int] = None,
 ) -> VoxelHashMap:
     """Insert a padded batch of points with keep-nearest-center downsampling.
 
@@ -145,7 +146,17 @@ def voxel_map_insert(
     the voxel center among {previous occupant} U {batch points in that voxel}
     (ikd_Tree.cpp:442-455). Points that cannot be placed within max_probes
     probes (table pressure) are dropped.
-    """
+
+    `leader_budget` (static): cap on distinct voxels per batch. TPU scatter/
+    gather time scales LINEARLY with update rows (measured r5: insert 1.7 ms
+    at 2048 rows -> 9.4 ms at 16384), and after the dedupe sort only the
+    per-voxel leaders carry work — compacting them to a fixed budget makes
+    every probe-round and deposit op pay O(budget) instead of O(N). Batches
+    whose unique-voxel count exceeds the budget drop the overflow leaders
+    (hash-order — an unbiased subset; the same pressure policy as
+    max_probes, and overlapping later batches re-insert them). Intended for
+    the blocked runners' multi-frame batches where consecutive scans revisit
+    mostly the same voxels; None keeps every leader."""
     n = xyz.shape[0]
     if mask is None:
         mask = jnp.ones(n, dtype=xyz.dtype)
@@ -216,6 +227,26 @@ def voxel_map_insert(
 
     alive0 = leader & (h_s < C)
 
+    # ---- optional leader compaction: shrink every downstream scatter/
+    # gather from N rows to `leader_budget` rows (two compaction scatters —
+    # one float payload, one int — keep coordinates bit-exact at any world
+    # scale). seg is only meaningful at leader rows, which is exactly what
+    # survives.
+    if leader_budget is not None and leader_budget < n:
+        Lb = int(leader_budget)
+        fpay = jnp.concatenate(
+            [xyz_s, int_s[:, None], d_s[:, None], seg], axis=-1)  # (N, 15)
+        fcomp, cmask, _ = mask_compact(fpay, alive0.astype(ft), Lb)
+        ipay = jnp.concatenate([c_s, h_s[:, None]], axis=-1)      # (N, 4)
+        icomp, _, _ = mask_compact(ipay, alive0.astype(jnp.int32), Lb)
+        xyz_s, int_s = fcomp[:, :3], fcomp[:, 3]
+        d_s = fcomp[:, 4]
+        seg = fcomp[:, 5:]
+        c_s, h_s = icomp[:, :3], icomp[:, 3]
+        alive0 = cmask > 0.5
+        n = Lb
+        iota = jnp.arange(n, dtype=jnp.int32)
+
     # ---- phase 2: probe rounds resolve each leader to its final SLOT only
     # (match its voxel's slot or claim an empty one). Key insights: (a)
     # dedupe guarantees one leader per voxel, so a slot written this batch is
@@ -227,6 +258,13 @@ def voxel_map_insert(
     # nearly all candidates. Claims happen only at a candidate's FIRST empty
     # slot (the open-addressing no-hole invariant later lookups rely on);
     # losers re-probe from that slot after the winner fills it.
+    # W=4 is MEASURED optimal (r5 bisect on v5e, 2048 pts -> 2^18 slots):
+    # widening to the full probe budget (W=8, one static round) read 1.19 ms
+    # vs 1.15, and folding the two post-loop deposits into one (C,15)
+    # read-modify-write scatter read 2.95 ms — the 15-lane row layout pads
+    # to 128 lanes and the wide gather+set traffic dwarfs the saved
+    # dispatches. The op-count model undercounts what XLA already elides in
+    # the second static round; this chain is at its wall.
     W = min(4, vmap.max_probes)
     w_iota = jnp.arange(W, dtype=jnp.int32)
     mp = jnp.int32(vmap.max_probes)
@@ -380,6 +418,7 @@ def voxel_map_sector_search_with_stats(
     half_angle_deg: float,
     out_size: int,
     min_count: float = 3.0,
+    fallback_var: float = 0.01,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sector query that also emits each voxel's Gaussian: returns
     (points (P,3), mask (P,), count (), means (P,3), covs_packed (P,6)).
@@ -411,7 +450,8 @@ def voxel_map_sector_search_with_stats(
         ex2[:, 4] - mu[:, 0] * mu[:, 2],
         ex2[:, 5] - mu[:, 1] * mu[:, 2],
     ], axis=-1)
-    iso = jnp.asarray([0.01, 0.01, 0.01, 0.0, 0.0, 0.0], dtype=cov.dtype)
+    iso = jnp.asarray([fallback_var, fallback_var, fallback_var,
+                       0.0, 0.0, 0.0], dtype=cov.dtype)
     thin = out[:, 3:4] < min_count
     cov = jnp.where(thin, iso[None, :], cov)
     return out[:, :3], mask, count, mu, cov

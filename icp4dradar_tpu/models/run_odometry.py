@@ -45,7 +45,19 @@ def build_scans(args):
             prior_deltas = imu_prior_deltas(ds.frames)
         return scans, gt_poses, prior_deltas
     if args.dataset:
-        ds = BinSequenceDataset(args.dataset, max_points=args.max_points)
+        fmt = args.dataset_format
+        if fmt == "auto":
+            # reference layout sniff: USE_PCD_FILES reads <folder>/pcd/%05d.pcd
+            # (src/iterative_closest_point.cpp:269-299), USE_BIN_FILES reads
+            # <folder>/data/*.bin
+            fmt = "pcd" if os.path.isdir(
+                os.path.join(args.dataset, "pcd")) else "bin"
+        if fmt == "pcd":
+            from icp4dradar_tpu.io.pcd import PcdSequenceDataset
+
+            ds = PcdSequenceDataset(args.dataset, max_points=args.max_points)
+        else:
+            ds = BinSequenceDataset(args.dataset, max_points=args.max_points)
         scans = [ds[k] for k in range(len(ds))]
         gt_poses = None
     else:
@@ -64,6 +76,15 @@ def main(argv=None) -> int:
                    choices=["scan_to_scan", "scan_to_map", "pose_graph"],
                    default="scan_to_scan")
     p.add_argument("--dataset", help=".bin sequence directory (data/radar_pointcloud_k.bin)")
+    p.add_argument("--dataset-format", default="auto",
+                   choices=["auto", "bin", "pcd"],
+                   help="--dataset layout: 'bin' (data/*.bin, ref "
+                        "USE_BIN_FILES), 'pcd' (pcd/%%05d.pcd, ref "
+                        "USE_PCD_FILES), 'auto' sniffs <folder>/pcd/")
+    p.add_argument("--replay", metavar="CSV",
+                   help="re-drive the frame loop from a recorded "
+                        "output_result.csv (transforms composed, ICP "
+                        "skipped — ref USE_ICP_RESULT); scan_to_scan mode")
     p.add_argument("--bag", help="ROS1 rosbag path (reference radar_odometry input)")
     p.add_argument("--topic-radar", default="/radar_scan")
     p.add_argument("--topic-gt", default=None)
@@ -99,6 +120,15 @@ def main(argv=None) -> int:
     p.add_argument("--map-interval", type=int, default=1,
                    help="scan_to_map: amortize sector query + insert over "
                         "this many frames (run_scan_to_map_blocked)")
+    p.add_argument("--sequential-blocks", action="store_true",
+                   help="blocked scan_to_map: register frames sequentially "
+                        "inside each block instead of the frame-parallel "
+                        "joint GN. The parallel default is ~1.7x faster on "
+                        "dense scans but relies on block-long motion-prior "
+                        "chains; sparse noisy vendors (TI-class ~41 "
+                        "pts/scan) need this flag or --map-interval 1 "
+                        "(measured: parallel 17 m vs sequential 0.9 m ATE "
+                        "on the ti_mmwave profile)")
     p.add_argument("--distributed", type=int, default=0, metavar="N",
                    help="scan_to_map: run the end-to-end pipeline sharded "
                         "over an N-device mesh (parallel/"
@@ -163,6 +193,33 @@ def main(argv=None) -> int:
         write_rt_txt(os.path.join(args.out, "odometry_raw.txt"), res.odom_poses)
         log.log("pose_graph", loop_closures=res.num_loop_closures,
                 keyframes=int(len(res.keyframe_indices)), cost=res.cost)
+    elif args.mode == "scan_to_scan" and args.replay:
+        from icp4dradar_tpu.models import run_scan_to_scan_replay
+        from icp4dradar_tpu.utils.trajectory import read_result_csv
+
+        _, T_rec, scores, _, _ = read_result_csv(args.replay)
+        if len(T_rec) != F:
+            p.error(f"--replay has {len(T_rec)} rows but the sequence has "
+                    f"{F} frames")
+        replay_run = jax.jit(lambda s, t, f: run_scan_to_scan_replay(
+            s, t, cfg, recorded_fitness=f))
+        T_rec_j = jnp.asarray(T_rec, jnp.float32)
+        scores_j = jnp.asarray(scores, jnp.float32)
+        rerun = lambda: jax.block_until_ready(
+            replay_run(scans, T_rec_j, scores_j).world_T)
+        outs = replay_run(scans, T_rec_j, scores_j)
+        jax.block_until_ready(outs.world_T)
+        elapsed = time.time() - t0
+        poses = np.asarray(outs.world_T)
+        write_velocity_txt(os.path.join(args.out, "velocity.txt"),
+                           np.asarray(outs.velocity))
+        write_rt_txt(os.path.join(args.out, "icp.txt"),
+                     np.asarray(outs.icp_transform))
+        write_result_csv(
+            os.path.join(args.out, "output_result.csv"),
+            np.asarray(outs.icp_transform), np.asarray(outs.fitness),
+            np.asarray(outs.sine_A), np.asarray(outs.sine_b),
+        )
     elif args.mode == "scan_to_scan":
         s2s_run = jax.jit(lambda s: run_scan_to_scan(
             s, cfg, use_doppler_prior=args.doppler_prior,
@@ -222,6 +279,7 @@ def main(argv=None) -> int:
                 use_doppler_prior=not args.static_only or args.doppler_prior,
                 prior_deltas=prior_deltas,
                 use_const_velocity_rot=args.cv_rot,
+                parallel_frames=not args.sequential_blocks,
             ))
         else:
             s2m_run = jax.jit(lambda s: run_scan_to_map(

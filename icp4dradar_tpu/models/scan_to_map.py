@@ -38,8 +38,8 @@ from icp4dradar_tpu.mapping import (
 )
 from icp4dradar_tpu.mapping.voxel_hash import voxel_map_sector_search_with_stats
 from icp4dradar_tpu.preprocess.reve import estimate_ego_velocity
-from icp4dradar_tpu.registration.gicp import gicp_align
-from icp4dradar_tpu.registration.vgicp import vgicp_align
+from icp4dradar_tpu.registration.gicp import GicpResult, gicp_align
+from icp4dradar_tpu.registration.vgicp import vgicp_align, vgicp_align_block
 from icp4dradar_tpu.ops.vgicp_fused import radar_point_covariances_packed
 
 
@@ -95,6 +95,11 @@ class ScanToMapOutput:
     num_inliers: jnp.ndarray    # () inlier point count
     submap_points: jnp.ndarray  # () sector submap size
     iterations: jnp.ndarray     # () GN sweeps the registration ran
+    insert_mask: jnp.ndarray    # (N,) gated inlier mask actually inserted
+                                # (REVE inliers x tracking-gate accept) —
+                                # the accumulation ring must reuse it, NOT
+                                # scan.mask (raw masks readmit the ghosts/
+                                # dynamics REVE filtered)
 
 
 def scan_to_map_init(cfg: PipelineConfig = PipelineConfig(), dtype=jnp.float32) -> ScanToMapState:
@@ -116,13 +121,34 @@ def scan_to_map_step(
     insert_before_registration: bool = False,
     use_doppler_prior: bool = False,
     prior_delta: Optional[jnp.ndarray] = None,
+    aux_world_xyz: Optional[jnp.ndarray] = None,
+    aux_mask: Optional[jnp.ndarray] = None,
+    insert_override: Optional[Tuple[jnp.ndarray, jnp.ndarray,
+                                    jnp.ndarray]] = None,
 ) -> Tuple[ScanToMapState, ScanToMapOutput]:
     """One tracked frame. Empty map (first frame) degenerates to an identity
     correction and seeds the map — no special-casing needed.
 
     `prior_delta` (4,4): body-frame motion prior for this frame (e.g. the
     IMU rotation from preprocess.imu.imu_prior_deltas), composed into the
-    predicted pose before registration."""
+    predicted pose before registration.
+
+    `aux_world_xyz` (A,3) + `aux_mask` (A,): extra WORLD-frame points used
+    for registration only — the multi-frame accumulation path for sparse
+    vendors (cfg.accumulate_scans): previous scans at their refined poses
+    re-join the current frame's GN through the predicted pose, multiplying
+    the constraint count of a TI-class 41-pt scan. CRITICAL: aux points
+    must NOT already be in the map — a point registering against its own
+    voxel contributes a zero residual rigidly attached to the prediction,
+    turning the window into a stay-at-prediction prior that drowns the real
+    constraints (measured 0.95 -> 18 m ATE on ti_mmwave, r5). Pair with
+    `insert_override` so insertion lags the accumulation window.
+
+    `insert_override` (xyz_world (N,3), mask, intensity): insert THESE
+    points instead of the current corrected scan (the delayed-insertion
+    half of accumulation — the oldest window entry enters the map as the
+    newest enters the window). On an empty map the current scan still
+    seeds it (the window has not filled yet)."""
     vmcfg = cfg.voxel_map
     est = estimate_ego_velocity(scan, key, cfg.reve)
     inlier_mask = est.inlier_mask
@@ -147,6 +173,16 @@ def scan_to_map_step(
         vmap = voxel_map_insert(vmap, world_pts, inlier_mask, scan.intensity)
 
     heading = matrix_to_rpy(pose[:3, :3])[2]
+    reg_xyz, reg_mask = scan.xyz, inlier_mask
+    if aux_world_xyz is not None:
+        # past scans re-expressed in the CURRENT predicted sensor frame:
+        # exact at the prediction, and the residual correction (~cm) only
+        # perturbs them by its own magnitude — well inside the 2 m gate
+        aux_sensor = se3_apply(se3_inverse(pose), aux_world_xyz)
+        reg_xyz = jnp.concatenate([scan.xyz, aux_sensor], axis=0)
+        am = (jnp.ones(aux_world_xyz.shape[0], inlier_mask.dtype)
+              if aux_mask is None else aux_mask.astype(inlier_mask.dtype))
+        reg_mask = jnp.concatenate([inlier_mask, am], axis=0)
     if cfg.gicp.use_vgicp:
         # register the sensor-frame scan against the voxel distribution map
         # (fused VGICP kernel); the refined pose comes out directly
@@ -154,14 +190,16 @@ def scan_to_map_step(
             voxel_map_sector_search_with_stats(
                 vmap, pose[:3, 3], vmcfg.sector_radius, heading,
                 vmcfg.sector_half_angle_deg, vmcfg.submap_max_points,
+                min_count=vmcfg.stats_min_count,
+                fallback_var=vmcfg.stats_fallback_var,
             )
         )
         src_cov6 = radar_point_covariances_packed(
-            scan.xyz, cfg.gicp.sigma_range, cfg.gicp.sigma_azimuth,
+            reg_xyz, cfg.gicp.sigma_range, cfg.gicp.sigma_azimuth,
             cfg.gicp.sigma_elevation,
         )
         g = vgicp_align(
-            scan.xyz, sub_mean, sub_cov, inlier_mask, submask,
+            reg_xyz, sub_mean, sub_cov, reg_mask, submask,
             src_cov6=src_cov6, init_transform=pose, cfg=cfg.gicp,
             tgt_count=sub_n,
         )
@@ -187,7 +225,10 @@ def scan_to_map_step(
                 max_dist=cfg.gicp.max_correspondence_dist)
             tgt_cov = covariances_from_neighbors(
                 submap, pn, jnp.isfinite(d2n), cfg.gicp.cov_epsilon)
-        g = gicp_align(world_pts, submap, inlier_mask, submask,
+        reg_world = world_pts
+        if aux_world_xyz is not None:
+            reg_world = jnp.concatenate([world_pts, aux_world_xyz], axis=0)
+        g = gicp_align(reg_world, submap, reg_mask, submask,
                        cfg=cfg.gicp, tgt_cov=tgt_cov)
         new_T = g.transform @ pose              # left-compose (ref :412)
 
@@ -196,8 +237,19 @@ def scan_to_map_step(
         cfg, pose, new_T, g.fitness, insert_mask)
     correction = new_T @ se3_inverse(pose)
     if not insert_before_registration:
-        corrected = se3_apply(new_T, scan.xyz)
-        vmap = voxel_map_insert(vmap, corrected, insert_mask, scan.intensity)
+        if insert_override is not None:
+            ow, om, oi = insert_override
+            vmap = voxel_map_insert(vmap, ow, om, oi)
+            # seed: while the delayed window fills, an empty map would
+            # leave nothing to register against — frame 0 inserts directly
+            corrected = se3_apply(new_T, scan.xyz)
+            seed = (state.vmap.num_voxels == 0).astype(insert_mask.dtype)
+            vmap = voxel_map_insert(vmap, corrected, insert_mask * seed,
+                                    scan.intensity)
+        else:
+            corrected = se3_apply(new_T, scan.xyz)
+            vmap = voxel_map_insert(vmap, corrected, insert_mask,
+                                    scan.intensity)
     if _forget_enabled(cfg):
         vmap = voxel_map_forget_far(vmap, new_T[:3, 3], vmcfg.forget_radius)
         vmap = voxel_map_maybe_rehash(vmap, vmcfg.rehash_tombstone_fraction)
@@ -213,6 +265,7 @@ def scan_to_map_step(
         num_inliers=jnp.sum(inlier_mask),
         submap_points=sub_n,
         iterations=g.iterations,
+        insert_mask=insert_mask,
     )
     return new_state, out
 
@@ -226,6 +279,7 @@ def run_scan_to_map(
     use_doppler_prior: bool = True,
     prior_deltas: Optional[jnp.ndarray] = None,
     use_const_velocity_rot: bool = False,
+    init_state: Optional[ScanToMapState] = None,
 ) -> Tuple[ScanToMapState, ScanToMapOutput]:
     """lax.scan the tracked-frame step over a stacked sequence (F, ...) in
     one device call. Returns (final state incl. the built map, stacked
@@ -233,39 +287,73 @@ def run_scan_to_map(
     motion priors (see preprocess.imu). `use_const_velocity_rot`: predict
     each frame's heading change from the previous frame's refined body
     delta (rotation only — translation stays with the measured Doppler
-    prior), cutting GN sweeps on turning trajectories."""
+    prior), cutting GN sweeps on turning trajectories. `init_state`:
+    continue tracking from an existing {pose, map} (micro-batched
+    streaming, resume) instead of a fresh map."""
     if key is None:
         key = jax.random.key(cfg.seed)
     F = scans.xyz.shape[0]
     keys = jax.random.split(key, F)
 
+    accum = max(int(cfg.accumulate_scans), 1)
+    NP = scans.xyz.shape[1]
+
     def step(carry, inp):
-        state, prev_rot = carry
+        state, prev_rot, ring = carry
         scan, k = inp[0], inp[1]
         rest = inp[2:]
         gt = rest[0] if gt_poses is not None else None
         pd = rest[-1] if prior_deltas is not None else None
         if use_const_velocity_rot and pd is None:
             pd = prev_rot
+        if ring is not None:
+            # window = the last (k-1) refined-but-not-yet-inserted scans;
+            # they register as extra constraints while the OLDEST entry is
+            # what enters the map this frame (delayed insertion keeps the
+            # window out of the map — see scan_to_map_step's aux caveat)
+            ring_w, ring_m, ring_i = ring
+            aux_w = ring_w.reshape(-1, 3)
+            aux_m = ring_m.reshape(-1)
+            override = (ring_w[0], ring_m[0], ring_i[0])
+        else:
+            aux_w = aux_m = override = None
         new_state, out = scan_to_map_step(
             state, scan, k, cfg, gt_pose=gt,
             insert_before_registration=insert_before_registration,
             use_doppler_prior=use_doppler_prior,
             prior_delta=pd,
+            aux_world_xyz=aux_w, aux_mask=aux_m,
+            insert_override=override,
         )
         delta = se3_inverse(state.world_T) @ new_state.world_T
         new_rot = jnp.eye(4, dtype=delta.dtype).at[:3, :3].set(
             so3_project(delta[:3, :3]))
-        return (new_state, new_rot), out
+        if ring is not None:
+            # push this frame's refined world points, shift the inserted
+            # oldest out; the GATED inlier mask rides along (raw scan.mask
+            # would readmit the ghosts/dynamics REVE filtered)
+            w = se3_apply(new_state.world_T, scan.xyz)
+            ring = (jnp.concatenate([ring_w[1:], w[None]], axis=0),
+                    jnp.concatenate([ring_m[1:], out.insert_mask[None]],
+                                    axis=0),
+                    jnp.concatenate([ring_i[1:], scan.intensity[None]],
+                                    axis=0))
+        return (new_state, new_rot, ring), out
 
     inputs = [scans, keys]
     if gt_poses is not None:
         inputs.append(gt_poses)
     if prior_deltas is not None:
         inputs.append(jnp.asarray(prior_deltas))
-    init = (scan_to_map_init(cfg, scans.xyz.dtype),
-            jnp.eye(4, dtype=scans.xyz.dtype))
-    (state, _), outs = jax.lax.scan(step, init, tuple(inputs))
+    ring0 = None
+    if accum > 1:
+        ring0 = (jnp.zeros((accum - 1, NP, 3), scans.xyz.dtype),
+                 jnp.zeros((accum - 1, NP), scans.mask.dtype),
+                 jnp.zeros((accum - 1, NP), scans.xyz.dtype))
+    init = (init_state if init_state is not None
+            else scan_to_map_init(cfg, scans.xyz.dtype),
+            jnp.eye(4, dtype=scans.xyz.dtype), ring0)
+    (state, _, _), outs = jax.lax.scan(step, init, tuple(inputs))
     return state, outs
 
 
@@ -315,16 +403,40 @@ def run_scan_to_map_blocked(
     prior_deltas: Optional[jnp.ndarray] = None,
     use_const_velocity_rot: bool = False,
     use_band_gating: bool = True,
+    parallel_frames: bool = True,
+    init_state: Optional[ScanToMapState] = None,
+    rigid_union: bool = False,
 ) -> Tuple[ScanToMapState, ScanToMapOutput]:
     """Scan-to-map tracking with map updates amortized over `block` frames.
+
+    `rigid_union` (sparse-vendor mitigation, cfg-driven via
+    run_odometry --accumulate): register each block's scans as ONE rigid
+    cloud — every scan pre-transformed into the block-end sensor frame
+    through the prior chain, a single GN correction shared by the whole
+    block. A TI-class 41-pt scan underconstrains 6-DoF GN; the union gives
+    the solver block * 41 constraints while each scan still registers
+    exactly once against a map that never contains it (no self-anchoring —
+    the failure mode that sank per-frame window accumulation, measured
+    0.95 -> 4-18 m ATE in r5). Trajectory within a block is piecewise-rigid
+    (prior-shaped), which at radar frame rates is well under the sparse
+    regime's noise floor.
 
     On TPU every gather/scatter/sort has a large FIXED cost, so the per-frame
     map work (sector query ~1 ms, insert ~2 ms) dominates the tracked-frame
     step while the registration itself is ~2 ms. This runner performs ONE
     sector query and ONE batched insert per `block` frames: frames inside a
-    block register sequentially (pose chaining preserved) against a submap
-    frozen at the block start, and their corrected world points are inserted
-    together afterwards.
+    block register against a submap frozen at the block start, and their
+    corrected world points are inserted together afterwards.
+
+    `parallel_frames` (default, r5): predict every pose in the block by
+    chaining the motion priors from the block-start pose, then register ALL
+    frames in one joint frame-parallel GN (vgicp_align_block — one fused
+    kernel sweep per GN iteration for the whole block). Corrections are
+    absolute against the shared frozen submap, so within-block prior drift
+    (bounded by `block` frames of prior error, well inside the 2 m gate)
+    does not compound. False keeps the r4 sequential inner scan (each frame
+    seeds the next prediction with its own correction) — measurably slower:
+    the per-frame GN while_loop paid ~0.08 ms/iteration of orchestration.
 
     Map staleness is bounded by `block` frames of motion — negligible against
     the 80 m sector radius (src/radar_odometry.cpp:36) at radar frame rates.
@@ -334,17 +446,28 @@ def run_scan_to_map_blocked(
     if key is None:
         key = jax.random.key(cfg.seed)
     F = scans.xyz.shape[0]
-    if block <= 1 or F <= block:
+    if block <= 1 or (init_state is None and F <= block):
         return run_scan_to_map(
             scans, cfg, key=key, use_doppler_prior=use_doppler_prior,
             prior_deltas=prior_deltas,
-            use_const_velocity_rot=use_const_velocity_rot)
-    if (F - block) % block != 0:
+            use_const_velocity_rot=use_const_velocity_rot,
+            init_state=init_state)
+    if init_state is not None:
+        # continuation (micro-batched streaming): the map is already warm —
+        # every frame runs blocked, no bootstrap; cv-rot re-seeds from
+        # identity for the first block (one block of slightly-wider priors)
+        if F % block != 0:
+            raise ValueError(
+                f"run_scan_to_map_blocked with init_state needs "
+                f"F % block == 0, got F={F}, block={block}")
+        F0 = 0
+    elif (F - block) % block != 0:
         raise ValueError(
             f"run_scan_to_map_blocked needs (F - block) % block == 0, got "
             f"F={F}, block={block}")
+    else:
+        F0 = block                     # warmup frames (per-frame updates)
     vmcfg = cfg.voxel_map
-    F0 = block                         # warmup frames (per-frame updates)
     nblocks = (F - F0) // block
     kwarm, kblocks = jax.random.split(key)
     if use_band_gating:
@@ -352,14 +475,20 @@ def run_scan_to_map_blocked(
         # along the forward axis (one batched sort for the whole sequence)
         scans = _sort_scans_by_sensor_x(scans)
 
-    warm_scans = jax.tree.map(lambda x: x[:F0], scans)
-    warm_pd = None if prior_deltas is None else jnp.asarray(prior_deltas)[:F0]
-    state, warm_outs = run_scan_to_map(
-        warm_scans, cfg, key=kwarm, use_doppler_prior=use_doppler_prior,
-        prior_deltas=warm_pd, use_const_velocity_rot=use_const_velocity_rot)
-    warm_delta = se3_inverse(warm_outs.world_T[-2]) @ warm_outs.world_T[-1]
-    prev_rot0 = jnp.eye(4, dtype=scans.xyz.dtype).at[:3, :3].set(
-        so3_project(warm_delta[:3, :3]))
+    if F0 > 0:
+        warm_scans = jax.tree.map(lambda x: x[:F0], scans)
+        warm_pd = (None if prior_deltas is None
+                   else jnp.asarray(prior_deltas)[:F0])
+        state, warm_outs = run_scan_to_map(
+            warm_scans, cfg, key=kwarm, use_doppler_prior=use_doppler_prior,
+            prior_deltas=warm_pd,
+            use_const_velocity_rot=use_const_velocity_rot)
+        warm_delta = se3_inverse(warm_outs.world_T[-2]) @ warm_outs.world_T[-1]
+        prev_rot0 = jnp.eye(4, dtype=scans.xyz.dtype).at[:3, :3].set(
+            so3_project(warm_delta[:3, :3]))
+    else:
+        state, warm_outs = init_state, None
+        prev_rot0 = jnp.eye(4, dtype=scans.xyz.dtype)
 
     rest = jax.tree.map(
         lambda x: x[F0:].reshape((nblocks, block) + x.shape[1:]), scans)
@@ -422,6 +551,7 @@ def run_scan_to_map_blocked(
             num_inliers=jnp.sum(est.inlier_mask),
             submap_points=sub_n,
             iterations=g.iterations,
+            insert_mask=insert_mask,
         )
         return (new_T, new_rot, frozen), (out, world_pts, insert_mask,
                                           scan.intensity)
@@ -435,6 +565,8 @@ def run_scan_to_map_blocked(
             voxel_map_sector_search_with_stats(
                 state.vmap, pose0[:3, 3], vmcfg.sector_radius, heading,
                 vmcfg.sector_half_angle_deg, vmcfg.submap_max_points,
+                min_count=vmcfg.stats_min_count,
+                fallback_var=vmcfg.stats_fallback_var,
             )
         )
         if use_band_gating:
@@ -447,18 +579,152 @@ def run_scan_to_map_blocked(
                 sub_mean, sub_cov, submask, axis2)
         else:
             axis2 = None
-        frame_in = [scans_b, est_b, cov_b]
-        if rest_pd is not None:
-            frame_in.append(inp[3])
-        (pose, prev_rot, _), (outs, world_pts, masks, intens) = jax.lax.scan(
-            frame_step,
-            (pose0, prev_rot, (sub_mean, sub_cov, submask, sub_n, axis2)),
-            tuple(frame_in))
+        if parallel_frames:
+            # predict every pose in the block by chaining priors from the
+            # refined block-start pose (unrolled — `block` is static);
+            # corrections below are absolute vs the shared frozen submap,
+            # so prior drift inside the block does not compound
+            pd_b = inp[3] if rest_pd is not None else None
+            preds = []
+            pose = pose0
+            for k in range(block):
+                if pd_b is not None:
+                    pose = pose @ pd_b[k]
+                elif use_const_velocity_rot:
+                    pose = pose @ prev_rot
+                if use_doppler_prior:
+                    dt_k = pose[:3, :3] @ est_b.velocity[k]
+                    pose = pose.at[:3, 3].add(jnp.where(
+                        est_b.valid[k], dt_k, jnp.zeros_like(dt_k)))
+                preds.append(pose)
+            preds = jnp.stack(preds)
+            if rigid_union:
+                # one rigid cloud in the block-END sensor frame: scan i
+                # rides at rel_i = inv(pred_last) @ pred_i, so the single
+                # correction the GN finds applies to every frame's
+                # prediction
+                pred_last = preds[-1]
+                inv_last = se3_inverse(pred_last)
+                rels = jax.vmap(lambda p: inv_last @ p)(preds)
+                union = jax.vmap(se3_apply)(rels, scans_b.xyz)
+                NPb = scans_b.xyz.shape[1]
+                gu = vgicp_align(
+                    union.reshape(block * NPb, 3), sub_mean, sub_cov,
+                    est_b.inlier_mask.reshape(-1), submask,
+                    src_cov6=cov_b.reshape(block * NPb, 6),
+                    init_transform=pred_last, cfg=cfg.gicp,
+                    tgt_count=sub_n, gate_axis=axis2)
+                corr = gu.transform @ inv_last
+                allT = jax.vmap(lambda p: corr @ p)(preds)
+                g = GicpResult(
+                    transform=allT,
+                    converged=jnp.broadcast_to(gu.converged, (block,)),
+                    fitness=jnp.broadcast_to(gu.fitness, (block,)),
+                    iterations=jnp.broadcast_to(gu.iterations, (block,)))
+            else:
+                g, wsum = vgicp_align_block(
+                    scans_b.xyz, sub_mean, sub_cov, est_b.inlier_mask,
+                    submask, cov_b, preds, cfg=cfg.gicp, tgt_count=sub_n,
+                    gate_axis=axis2)
+                # a frame whose prediction drifted past the correspondence
+                # gate matches nothing and reports fitness 0 — fold the
+                # matched fraction into an EFFECTIVE fitness so both the
+                # salvage predicate and the tracking gate see the failure
+                nval = jnp.maximum(jnp.sum(est_b.inlier_mask, axis=-1), 1.0)
+
+                def eff_fitness(gr, ws):
+                    lost = (ws / nval) < 0.25
+                    return jnp.where(lost, jnp.asarray(1e6, gr.fitness.dtype),
+                                     gr.fitness)
+
+                fit1 = eff_fitness(g, wsum)
+                # sparse-regime salvage (r5): noisy priors (TI-class 41-pt
+                # scans) can drift late-block predictions past the
+                # correspondence gate, where the joint GN finds nothing and
+                # tracking walks off (measured 0.7 -> 17 m ATE on
+                # ti_mmwave). When any frame looks lost/suspect, re-chain
+                # predictions off the ACCEPTED pass-1 corrections (one
+                # frame of prior noise each — the sequential path's
+                # property) and re-register; healthy dense blocks skip the
+                # second pass at runtime (lax.cond).
+                ok = (fit1 < cfg.tracking.max_fitness) & jnp.isfinite(fit1)
+
+                def salvage(_):
+                    deltas = [se3_inverse(pose0) @ preds[0]] + [
+                        se3_inverse(preds[k - 1]) @ preds[k]
+                        for k in range(1, block)]
+                    pred2 = []
+                    prev = pose0
+                    for k in range(block):
+                        if k == 0:
+                            base = pose0
+                        else:
+                            base = jnp.where(ok[k - 1], g.transform[k - 1],
+                                             prev)
+                        prev = base @ deltas[k]
+                        pred2.append(prev)
+                    pred2 = jnp.stack(pred2)
+                    g2, wsum2 = vgicp_align_block(
+                        scans_b.xyz, sub_mean, sub_cov, est_b.inlier_mask,
+                        submask, cov_b, pred2, cfg=cfg.gicp,
+                        tgt_count=sub_n, gate_axis=axis2)
+                    fit2 = eff_fitness(g2, wsum2)
+                    okn = ok[:, None]
+                    return (jnp.where(okn[..., None], g.transform,
+                                      g2.transform),
+                            jnp.where(ok, fit1, fit2),
+                            g.iterations + g2.iterations,
+                            jnp.where(okn[..., None], preds, pred2))
+
+                def keep(_):
+                    return g.transform, fit1, g.iterations, preds
+
+                Tt, fit, iters, preds = jax.lax.cond(
+                    jnp.any(~ok), salvage, keep, None)
+                g = GicpResult(transform=Tt, converged=g.converged,
+                               fitness=fit, iterations=iters)
+            new_T, masks, _ = jax.vmap(
+                lambda p, t, f, m: _apply_tracking_gate(cfg, p, t, f, m)
+            )(preds, g.transform, g.fitness, est_b.inlier_mask)
+            world_pts = jax.vmap(se3_apply)(new_T, scans_b.xyz)
+            intens = scans_b.intensity
+            outs = ScanToMapOutput(
+                world_T=new_T,
+                correction=jax.vmap(
+                    lambda t, p: t @ se3_inverse(p))(new_T, preds),
+                velocity=est_b.velocity,
+                velocity_sigma=est_b.sigma,
+                velocity_valid=est_b.valid,
+                fitness=g.fitness,
+                num_inliers=jnp.sum(est_b.inlier_mask, axis=-1),
+                submap_points=jnp.broadcast_to(sub_n, (block,)),
+                iterations=g.iterations,
+                insert_mask=masks,
+            )
+            pose = new_T[-1]
+            # cv-rot seed for the next block from the last two CORRECTED
+            # poses (both ends refined — tighter than the sequential path's
+            # prior-inclusive delta)
+            blk_delta = se3_inverse(new_T[-2]) @ new_T[-1]
+            prev_rot = jnp.eye(4, dtype=blk_delta.dtype).at[:3, :3].set(
+                so3_project(blk_delta[:3, :3]))
+        else:
+            frame_in = [scans_b, est_b, cov_b]
+            if rest_pd is not None:
+                frame_in.append(inp[3])
+            (pose, prev_rot, _), (outs, world_pts, masks, intens) = (
+                jax.lax.scan(
+                    frame_step,
+                    (pose0, prev_rot,
+                     (sub_mean, sub_cov, submask, sub_n, axis2)),
+                    tuple(frame_in)))
+        lb = vmcfg.block_insert_leader_budget
         vmap = voxel_map_insert(
             state.vmap,
             world_pts.reshape(-1, 3),
             masks.reshape(-1),
             intens.reshape(-1),
+            leader_budget=lb if lb > 0 else None,
         )
         if _forget_enabled(cfg):
             vmap = voxel_map_forget_far(vmap, pose[:3, 3],
@@ -477,6 +743,8 @@ def run_scan_to_map_blocked(
                                         tuple(block_in))
     blk_outs = jax.tree.map(
         lambda x: x.reshape((nblocks * block,) + x.shape[2:]), blk_outs)
+    if warm_outs is None:
+        return state, blk_outs
     outs = jax.tree.map(
         lambda a, b: jnp.concatenate([a, b], axis=0), warm_outs, blk_outs)
     return state, outs

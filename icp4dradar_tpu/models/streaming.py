@@ -21,6 +21,7 @@ from icp4dradar_tpu.io.scan import RadarScan
 from icp4dradar_tpu.models.scan_to_map import (
     ScanToMapOutput,
     ScanToMapState,
+    run_scan_to_map_blocked,
     scan_to_map_init,
     scan_to_map_step,
 )
@@ -51,6 +52,8 @@ class OdometrySession:
                 st, sc, k, cfg, use_doppler_prior=use_doppler_prior
             )
         )
+        self._use_doppler_prior = use_doppler_prior
+        self._batch_runs = {}       # (B, block) -> jitted micro-batch run
 
     # ------------------------------------------------------------------
     def process(self, scan: RadarScan) -> ScanToMapOutput:
@@ -77,6 +80,50 @@ class OdometrySession:
         ):
             self.checkpoint()
         return out
+
+    def process_batch(self, scans: RadarScan,
+                      block: int = 0) -> ScanToMapOutput:
+        """Track a micro-batch of B stacked frames in ONE device dispatch.
+
+        The per-frame `process` path pays a full host->device dispatch per
+        scan (~25 ms through the axon tunnel — a ~40 scans/s ceiling no
+        matter how fast the step kernel is); feeding B buffered frames at
+        once amortizes that to 25/B ms while the prefetching bag/bin
+        loaders (native/) hide the decode latency of the NEXT batch behind
+        the device step of the current one. `block` > 1 additionally runs
+        the frame-parallel blocked tracker inside the batch (one sector
+        query + one insert per block; needs B % block == 0).
+
+        State semantics match B sequential `process` calls (same map, same
+        pose chain); per-frame outputs return stacked (B, ...). The
+        nonfinite guard applies to the whole batch (a poisoned map cannot
+        be unwound per-frame): if the batch's final pose is nonfinite the
+        ENTIRE batch is skipped and skipped_frames += B.
+        """
+        B = int(scans.xyz.shape[0])
+        self._key, sub = jax.random.split(self._key)
+        key = (B, block)
+        if key not in self._batch_runs:
+            cfg, udp = self.cfg, self._use_doppler_prior
+            self._batch_runs[key] = jax.jit(
+                lambda st, sc, k: run_scan_to_map_blocked(
+                    sc, cfg, key=k, block=block,
+                    use_doppler_prior=udp, init_state=st))
+        new_state, outs = self._batch_runs[key](self.state, scans, sub)
+        if self.guard_nonfinite and not bool(
+            jax.numpy.isfinite(new_state.world_T).all()
+        ):
+            self.skipped_frames += B
+        else:
+            self.state = new_state
+        self.frame += B
+        if (
+            self.checkpoint_dir
+            and self.checkpoint_every
+            and self.frame % self.checkpoint_every < B
+        ):
+            self.checkpoint()
+        return outs
 
     @property
     def pose(self) -> np.ndarray:

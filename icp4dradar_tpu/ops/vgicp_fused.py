@@ -118,7 +118,7 @@ def _make_vgicp_kernel(max_d2: float, cov_eps: float, use_gate: bool):
         tm = tgt_ref.shape[0]
         ts = src_ref.shape[1]
 
-        Tm = T_ref[0, :]                  # (16,) row-major 4x4
+        Tm = T_ref[i, :]                  # (16,) this block's row-major 4x4
         R = [[Tm[0], Tm[1], Tm[2]], [Tm[4], Tm[5], Tm[6]], [Tm[8], Tm[9], Tm[10]]]
         s = src_ref[:]                    # (10, TS): xyz, mask, cov6
         w_src = s[3]
@@ -269,7 +269,7 @@ def _make_vgicp_frozen_kernel(max_d2: float, cov_eps: float):
 
     def kernel(T_ref, src_ref, best_ref, out_ref):
         i = pl.program_id(0)
-        Tm = T_ref[0, :]
+        Tm = T_ref[i, :]
         R = [[Tm[0], Tm[1], Tm[2]], [Tm[4], Tm[5], Tm[6]], [Tm[8], Tm[9], Tm[10]]]
         s = src_ref[:]
         w_src = s[3]
@@ -302,7 +302,7 @@ def _unpack_accumulators(acc: jnp.ndarray, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("max_correspondence_dist", "cov_eps", "ts", "interpret",
-                     "return_best"),
+                     "return_best", "_acc_groups"),
 )
 def vgicp_iteration(
     T: jnp.ndarray,
@@ -319,6 +319,7 @@ def vgicp_iteration(
     tgt_count: Optional[jnp.ndarray] = None,
     return_best: bool = False,
     gate_axis: Optional[jnp.ndarray] = None,
+    _acc_groups: int = 1,
 ):
     """One fused GN pass -> (H (6,6), g (6,), cost, wsum, d2sum)
     [+ the (ns, 10, ts) matched payload when `return_best` — feed it to
@@ -359,10 +360,19 @@ def vgicp_iteration(
     )
     tgt11 = jnp.pad(tgt11, ((0, pad_m), (0, 0)))
     tgt11 = tgt11.at[m:, 9].set(_BIG)
-    T16 = T.astype(jnp.float32).reshape(1, 16)
 
     np_ = src10.shape[1]
     ns = np_ // ts
+    # per-source-block transforms: a single (4,4) T broadcasts to every
+    # block; a (B,4,4) stack maps frame b to its ns/B consecutive blocks
+    # (the batched-GN path — one sweep registers a whole frame block)
+    if T.ndim == 2:
+        T16 = jnp.broadcast_to(
+            T.astype(jnp.float32).reshape(1, 16), (ns, 16))
+    else:
+        B = T.shape[0]
+        T16 = jnp.repeat(
+            T.astype(jnp.float32).reshape(B, 16), ns // B, axis=0)
     nt = tgt11.shape[0] // tm_tile
     cnt = jnp.reshape(tgt_count.astype(jnp.int32), (1, 1))
     use_gate = gate_axis is not None
@@ -388,7 +398,8 @@ def vgicp_iteration(
             pl.BlockSpec((nt, 2), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, 16), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((10, ts), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm_tile, 11), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -405,14 +416,69 @@ def vgicp_iteration(
         ],
         interpret=interpret,
     )(cnt, bounds, axis2, T16, src10, tgt11)
-    acc = jnp.sum(out, axis=0)
-    unpacked = _unpack_accumulators(acc, src_xyz.dtype)
+    if _acc_groups > 1:
+        # per-frame accumulator groups (vgicp_iteration_batch): sum each
+        # frame's consecutive source blocks separately, then unpack batched
+        acc = jnp.sum(out.reshape(_acc_groups, ns // _acc_groups, _NOUT),
+                      axis=1)
+        unpacked = jax.vmap(lambda a: _unpack_accumulators(
+            a, src_xyz.dtype))(acc)
+    else:
+        acc = jnp.sum(out, axis=0)
+        unpacked = _unpack_accumulators(acc, src_xyz.dtype)
     return unpacked + (best,) if return_best else unpacked
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_correspondence_dist", "cov_eps", "ts", "interpret"),
+    static_argnames=("max_correspondence_dist", "cov_eps", "ts", "interpret",
+                     "return_best"),
+)
+def vgicp_iteration_batch(
+    T: jnp.ndarray,
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    src_cov6: jnp.ndarray,
+    tgt_mean: jnp.ndarray,
+    tgt_cov6: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    max_correspondence_dist: float = 2.0,
+    cov_eps: float = 1e-3,
+    ts: int = 2048,
+    interpret: bool = False,
+    tgt_count: Optional[jnp.ndarray] = None,
+    return_best: bool = False,
+    gate_axis: Optional[jnp.ndarray] = None,
+):
+    """Batched fused GN pass: register B frames against ONE shared target
+    in a single kernel sweep (per-source-block transforms) ->
+    (H (B,6,6), g (B,6), cost (B,), wsum (B,), d2sum (B,)) [+ best].
+
+    The frame-parallel blocked tracker's workhorse: one kernel dispatch
+    replaces B sequential vgicp_iteration calls per GN iteration, so the
+    per-iteration orchestration overhead amortizes over the block.
+
+    T: (B,4,4); src_xyz/src_mask/src_cov6: (B,N,...) sharing the frozen
+    (tgt_mean, tgt_cov6, tgt_mask). N must be a multiple of the source
+    block size ts (blocks never straddle frames)."""
+    B, N = src_xyz.shape[0], src_xyz.shape[1]
+    ts = min(ts, max(8, N))
+    if N % ts:
+        raise ValueError(f"batched sweep needs N % ts == 0, got {N}, {ts}")
+    out = vgicp_iteration(
+        T, src_xyz.reshape(B * N, 3), src_mask.reshape(B * N),
+        src_cov6.reshape(B * N, 6), tgt_mean, tgt_cov6, tgt_mask,
+        max_correspondence_dist=max_correspondence_dist, cov_eps=cov_eps,
+        ts=ts, interpret=interpret, tgt_count=tgt_count,
+        return_best=True, gate_axis=gate_axis, _acc_groups=B,
+    )
+    return out if return_best else out[:-1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_correspondence_dist", "cov_eps", "ts", "interpret",
+                     "_acc_groups"),
 )
 def vgicp_iteration_frozen(
     T: jnp.ndarray,
@@ -424,6 +490,7 @@ def vgicp_iteration_frozen(
     cov_eps: float = 1e-3,
     ts: int = 512,
     interpret: bool = False,
+    _acc_groups: int = 1,
 ):
     """GN pass re-linearized at T on FROZEN correspondences (the `best`
     payload from a prior vgicp_iteration sweep) -> same outputs, no NN
@@ -444,13 +511,19 @@ def vgicp_iteration_frozen(
         axis=-1,
     )
     src10 = jnp.pad(src10, ((0, pad_n), (0, 0))).T          # (10, Np)
-    T16 = T.astype(jnp.float32).reshape(1, 16)
     ns = src10.shape[1] // ts
+    if T.ndim == 2:
+        T16 = jnp.broadcast_to(
+            T.astype(jnp.float32).reshape(1, 16), (ns, 16))
+    else:
+        T16 = jnp.repeat(
+            T.astype(jnp.float32).reshape(T.shape[0], 16),
+            ns // T.shape[0], axis=0)
     out = pl.pallas_call(
         _make_vgicp_frozen_kernel(float(max_correspondence_dist) ** 2, cov_eps),
         grid=(ns,),
         in_specs=[
-            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((10, ts), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 10, ts), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -460,6 +533,11 @@ def vgicp_iteration_frozen(
         out_shape=jax.ShapeDtypeStruct((ns, _NOUT), jnp.float32),
         interpret=interpret,
     )(T16, src10, best)
+    if _acc_groups > 1:
+        acc = jnp.sum(out.reshape(_acc_groups, ns // _acc_groups, _NOUT),
+                      axis=1)
+        return jax.vmap(lambda a: _unpack_accumulators(
+            a, src_xyz.dtype))(acc)
     acc = jnp.sum(out, axis=0)
     return _unpack_accumulators(acc, src_xyz.dtype)
 

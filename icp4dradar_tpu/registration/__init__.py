@@ -7,4 +7,7 @@ from icp4dradar_tpu.registration.gicp import (  # noqa: F401
     gicp_align,
     point_covariances,
 )
-from icp4dradar_tpu.registration.vgicp import vgicp_align  # noqa: F401
+from icp4dradar_tpu.registration.vgicp import (  # noqa: F401
+    vgicp_align,
+    vgicp_align_block,
+)

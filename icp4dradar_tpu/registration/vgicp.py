@@ -23,6 +23,7 @@ from icp4dradar_tpu.geom.linalg import solve_spd6
 from icp4dradar_tpu.ops.vgicp_fused import (
     radar_point_covariances_packed,
     vgicp_iteration,
+    vgicp_iteration_batch,
     vgicp_iteration_frozen,
     vgicp_iteration_xla,
 )
@@ -131,3 +132,102 @@ def vgicp_align(
     T = T.at[:3, 3].add(center)            # back to the world frame
     return GicpResult(transform=T, converged=converged, fitness=fitness,
                       iterations=iters)
+
+
+def vgicp_align_block(
+    src_xyz: jnp.ndarray,
+    tgt_mean: jnp.ndarray,
+    tgt_cov6: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    src_cov6: jnp.ndarray,
+    init_transforms: jnp.ndarray,
+    cfg: GicpConfig = GicpConfig(),
+    tgt_count: Optional[jnp.ndarray] = None,
+    gate_axis: Optional[jnp.ndarray] = None,
+) -> GicpResult:
+    """Frame-parallel VGICP: register B frames against ONE frozen submap
+    jointly — every GN iteration is a SINGLE fused kernel sweep with
+    per-source-block transforms (ops/vgicp_fused.py::vgicp_iteration_batch)
+    plus one batched 6x6 solve, so the per-iteration orchestration overhead
+    amortizes over the whole block instead of repeating per frame.
+
+    Each frame's registration is mathematically independent (absolute
+    correction against the shared map — predictions chain through priors,
+    corrections do NOT feed forward within the block); convergence is
+    per-frame masked, the sweep runs until every frame's step is below
+    epsilon or the iteration cap. Replaces B sequential vgicp_align calls
+    in the blocked tracker (the measured ~0.08 ms/GN-iteration while_loop
+    overhead was the largest single item in the r4 frame budget).
+
+    src_xyz (B,N,3), src_mask (B,N), src_cov6 (B,N,6),
+    init_transforms (B,4,4) -> (GicpResult with leading (B,) axis,
+    matched_weight (B,) — the gated correspondence weight sum). A frame
+    whose prediction drifted past the correspondence gate matches NOTHING
+    and reports fitness 0 (0 / max(wsum, 1)) — indistinguishable from
+    perfect health — so callers MUST gate on matched_weight, not fitness
+    alone (the r5 sparse-regime walk-off entered through exactly this
+    blind spot)."""
+    B = src_xyz.shape[0]
+    T0 = init_transforms
+    # one shared centering for the block: all frames sit within a few
+    # meters of the block-start prediction, which keeps the kernel's
+    # distance math and the hat(p) GN coupling at sensor range
+    center = T0[0, :3, 3]
+    T0 = T0.at[:, :3, 3].add(-center)
+    tgt_mean = tgt_mean - center[None, :]
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        it_fn = lambda T: vgicp_iteration_batch(
+            T, src_xyz, src_mask, src_cov6, tgt_mean, tgt_cov6, tgt_mask,
+            max_correspondence_dist=cfg.max_correspondence_dist,
+            cov_eps=cfg.cov_epsilon,
+            tgt_count=tgt_count,
+            return_best=True,
+            gate_axis=gate_axis,
+        )
+    else:
+        def it_fn(T):
+            H, g, cost, wsum, d2sum = jax.vmap(
+                lambda Tb, sb, mb, cb: vgicp_iteration_xla(
+                    Tb, sb, mb, cb, tgt_mean, tgt_cov6, tgt_mask,
+                    max_correspondence_dist=cfg.max_correspondence_dist,
+                    cov_eps=cfg.cov_epsilon,
+                ))(T, src_xyz, src_mask, src_cov6)
+            return H, g, cost, wsum, d2sum, None
+
+    def gn_update(T, H, g, active):
+        H = H + cfg.lm_lambda * jnp.eye(6, dtype=T.dtype)[None]
+        xi = jax.vmap(solve_spd6)(H, -g)
+        xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
+        xi = jnp.where(active[:, None], xi, 0.0)     # converged frames hold
+        T = jax.vmap(lambda x, t: se3_exp(x) @ t)(xi, T)
+        return T, jnp.sum(jnp.abs(xi), axis=-1)
+
+    eps = cfg.vgicp_transformation_epsilon
+
+    def cond(state):
+        T, it, delta, iters, _, _ = state
+        return (it < cfg.max_iterations) & jnp.any(delta > eps)
+
+    def body(state):
+        T, it, delta, iters, _, _ = state
+        active = delta > eps
+        H, g, cost, wsum, d2sum, best = it_fn(T)
+        T, dlt = gn_update(T, H, g, active)
+        delta = jnp.where(active, dlt, jnp.zeros_like(dlt))
+        iters = iters + active.astype(iters.dtype)
+        return (T, it + 1, delta, iters, wsum, d2sum)
+
+    dt = src_xyz.dtype
+    init = (T0, jnp.int32(0), jnp.full((B,), jnp.inf, dt),
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dt),
+            jnp.zeros((B,), dt))
+    T, it, delta, iters, wsum, d2sum = jax.lax.while_loop(cond, body, init)
+
+    fitness = d2sum / jnp.maximum(wsum, 1.0)
+    converged = (delta <= eps) | (it >= cfg.max_iterations)
+    T = T.at[:, :3, 3].add(center)
+    return GicpResult(transform=T, converged=converged, fitness=fitness,
+                      iterations=iters), wsum

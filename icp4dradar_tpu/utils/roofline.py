@@ -143,7 +143,15 @@ def insert_roofline(n: int, capacity: int, max_probes: int = 8,
     """Batched voxel-hash insert (mapping/voxel_hash.py): fixed-op model.
 
     ~4 gather/scatter dispatches per probe round + the 6-key sort + ~6
-    deposit scatters; bytes are the touched rows, far under the BW wall."""
+    deposit scatters; bytes are the touched rows, far under the BW wall.
+
+    r5 negative results (measured on v5e, 2048 pts -> 2^18 slots): widening
+    the probe window to one full-budget round read 1.19 vs 1.15 ms, and
+    folding the deposits into one (C,15) read-modify-write scatter read
+    2.95 ms (15-lane rows pad to 128 lanes; wide-gather traffic dwarfs the
+    saved dispatches). The W=4 two-round + split-deposit layout stands as
+    the measured optimum — treat this model's op count as the effective
+    dispatch budget, not a target to shrink further."""
     rounds = math.ceil(max_probes / window)
     ops = 1 + 4 * rounds + 6          # sort + rounds + deposits
     bytes_ = n * (11 * 4 + window * 12) + n * 10 * 4
@@ -215,8 +223,12 @@ def measure_hot_kernels(reps: int = 256, n: int = 2048, m: int = 16384,
         # empty chain with the same scan structure: measures dispatch +
         # per-iteration loop overhead, subtracted from every kernel time.
         # Measured PER LENGTH — the dominant term is dispatch/length.
+        # *1e-30 with the carry folded into the INPUT, never *0.0: XLA
+        # folds x*0 and would collapse the chain to pure dispatch
+        # (CLAUDE.md measurement rule; the kernel loops use the same
+        # carried-dependence shape).
         def body(acc, _):
-            return acc + jnp.sum(s) * 0.0, None
+            return acc + jnp.sum(s + acc * 1e-30) * 1e-30, None
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
         return acc
 

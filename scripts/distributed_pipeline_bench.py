@@ -95,7 +95,7 @@ def main(argv=None) -> int:
     ncores = os.cpu_count() or 1
 
     out = {
-        "bench": "distributed_pipeline_r4",
+        "bench": "distributed_pipeline_r5",
         "backend": jax.default_backend(),
         "environment": (
             f"{'real TPU chip' if args.tpu else f'virtual CPU mesh on {ncores} host cores'}"
@@ -104,6 +104,36 @@ def main(argv=None) -> int:
         "frames": F, "points_per_scan": args.points,
         "results": [],
     }
+    if args.tpu:
+        # paired SAME-CONFIG single-device rows (r5, VERDICT r4 #10): the
+        # committed artifacts previously compared distributed ATE at
+        # 1024-pt scans against single-device ATE at 2048 — these rows use
+        # the identical cfg/frames/points so the distributed deltas read as
+        # distribution cost, not config drift
+        from icp4dradar_tpu.models import (
+            run_scan_to_map, run_scan_to_map_blocked,
+        )
+
+        for mode, runner in (
+            ("single per-frame", jax.jit(
+                lambda s: run_scan_to_map(s, cfg)[1].world_T)),
+            ("single blocked", jax.jit(
+                lambda s: run_scan_to_map_blocked(
+                    s, cfg, block=args.block,
+                    use_const_velocity_rot=True)[1].world_T)),
+        ):
+            T = np.asarray(runner(scans))
+            dt = _best_of(lambda r=runner: np.asarray(r(scans)))
+            ate = float(np.sqrt(np.mean(
+                np.sum((T[:, :3, 3] - gt) ** 2, axis=-1))))
+            row = {"devices": 1, "mode": mode,
+                   "scans_per_s": round(F / dt, 1),
+                   "ms_per_frame": round(dt * 1e3 / F, 2),
+                   "ate_m": round(ate, 4)}
+            out["results"].append(row)
+            print(f"{mode}: {row['scans_per_s']} scans/s "
+                  f"(ATE {row['ate_m']} m)", file=sys.stderr)
+
     for n in args.devices:
         if n > len(jax.devices()):
             continue

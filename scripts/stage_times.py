@@ -149,10 +149,34 @@ def main(argv=None) -> int:
             cfg=gicp, tgt_count=sub_n).transform),
         scan.xyz, scan.mask, cov6, sub_mean, sub_cov, submask, T_pred))
 
+    # r5 frame-parallel blocked registration: ONE joint GN for 8 frames
+    # against the frozen submap (vgicp_align_block) — compare against
+    # 8 x vgicp_align_full to see the orchestration amortization
+    from icp4dradar_tpu.registration.vgicp import vgicp_align_block
+
+    B = 8
+    preds8 = jnp.stack([
+        jnp.asarray(seq.poses[10], jnp.float32).at[0, 3].add(0.05 * k)
+        for k in range(B)])
+    scans8 = jnp.stack([scan.xyz + 0.01 * k for k in range(B)])
+    masks8 = jnp.broadcast_to(scan.mask, (B,) + scan.mask.shape)
+    cov8 = jnp.broadcast_to(cov6, (B,) + cov6.shape)
+    report("vgicp_align_block8", timed(
+        lambda e, sx, sm, c6, tm_, tc, tk, Tp: jnp.sum(vgicp_align_block(
+            sx + e, tm_, tc, sm, tk, c6, Tp,
+            cfg=gicp, tgt_count=sub_n)[0].transform),
+        scans8, masks8, cov8, sub_mean, sub_cov, submask, preds8))
+
     report("insert", timed(
         lambda e, vm, s, c: jnp.sum(voxel_map_insert(
             vm, s.xyz + c[None, :] + e, s.mask, s.intensity).occupied),
         vm, scan, center))
+
+    report("insert_16k_block", timed(
+        lambda e, vm, s, c: jnp.sum(voxel_map_insert(
+            vm, (s + c[None, :] + e).reshape(-1, 3),
+            jnp.ones(s.shape[0] * s.shape[1], jnp.float32)).occupied),
+        vm, scans8, center))
 
     # default forget_radius is inf (disabled); time a realistic finite one
     report("forget_far_160m", timed(

@@ -83,6 +83,43 @@ class TestInsert:
         assert int(m2.num_voxels) == int(m3.num_voxels)
 
 
+class TestLeaderBudget:
+    def test_budget_above_unique_count_is_identical(self, rng):
+        """leader_budget >= distinct voxels must be a pure optimization:
+        bit-identical map state vs the unbudgeted insert (r5 — every
+        downstream scatter pays O(budget), not O(N))."""
+        pts = rng.uniform(-10, 10, size=(600, 3)).astype(np.float32)
+        inten = rng.uniform(0, 30, 600).astype(np.float32)
+        a = voxel_map_insert(voxel_map_create(capacity=1 << 12),
+                             jnp.asarray(pts), intensity=jnp.asarray(inten))
+        b = voxel_map_insert(voxel_map_create(capacity=1 << 12),
+                             jnp.asarray(pts), intensity=jnp.asarray(inten),
+                             leader_budget=1024)
+        assert int(a.num_voxels) <= 1024  # precondition: budget not binding
+        for fa, fb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+    def test_budget_overflow_drops_but_stays_consistent(self, rng):
+        """A binding budget drops overflow leaders (pressure policy) but
+        every stored voxel must still satisfy the downsample semantics and
+        the occupied count must equal the kept-leader count."""
+        # low load factor so probe-pressure drops can't confound the count
+        pts = rng.uniform(-40, 40, size=(4096, 3)).astype(np.float32)
+        m = voxel_map_insert(voxel_map_create(capacity=1 << 15),
+                             jnp.asarray(pts), leader_budget=256)
+        nv = int(m.num_voxels)
+        assert 0 < nv <= 256
+        oracle = oracle_downsample(pts, 0.5)
+        occ = np.asarray(m.occupied) > 0.5
+        keys = np.asarray(m.keys)[occ]
+        stored = np.asarray(m.points)[occ]
+        for k, p in zip(map(tuple, keys), stored):
+            np.testing.assert_allclose(p, oracle[k], atol=1e-6)
+        # re-inserting the same batch WITHOUT a budget completes the map
+        m2 = voxel_map_insert(m, jnp.asarray(pts))
+        assert int(m2.num_voxels) == len(oracle)
+
+
 class TestQueries:
     def setup_map(self, rng, n=800):
         pts = rng.uniform(-40, 40, (n, 3)).astype(np.float32)

@@ -357,6 +357,67 @@ class TestTrackingGate:
         np.testing.assert_allclose(np.asarray(a.world_T),
                                    np.asarray(b.world_T), atol=1e-6)
 
+    def test_replay_roundtrip_identical_trajectory(self, tmp_path):
+        """Record -> replay (ref USE_ICP_RESULT, src/iterative_closest_point
+        .cpp:192-206, 523-540): re-driving the pipeline from the recorded
+        output_result.csv transforms must reproduce the trajectory exactly
+        (composition is blind — no registration, no gate)."""
+        from icp4dradar_tpu.models import run_scan_to_scan_replay
+        from icp4dradar_tpu.utils import write_result_csv
+        from icp4dradar_tpu.utils.trajectory import read_result_csv
+
+        seq = make_seq(frames=8)
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        cfg = small_cfg()
+        rec = run_scan_to_scan(scans, cfg, use_doppler_prior=True)
+        csv = str(tmp_path / "output_result.csv")
+        write_result_csv(csv, np.asarray(rec.icp_transform),
+                         np.asarray(rec.fitness), np.asarray(rec.sine_A),
+                         np.asarray(rec.sine_b))
+        _, T_rec, scores, _, _ = read_result_csv(csv)
+        rep = run_scan_to_scan_replay(
+            scans, jnp.asarray(T_rec, jnp.float32), cfg,
+            recorded_fitness=jnp.asarray(scores, jnp.float32))
+        # CSV stores %f (6 decimals) — bit-level after the f32 round trip
+        np.testing.assert_allclose(np.asarray(rep.world_T),
+                                   np.asarray(rec.world_T), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(rep.fitness),
+                                   np.asarray(rec.fitness), atol=1e-5)
+        # velocities regenerate from preprocessing (runs before the
+        # bypassed align in the reference loop)
+        np.testing.assert_allclose(np.asarray(rep.velocity),
+                                   np.asarray(rec.velocity), atol=1e-6)
+
+    def test_step_mode_motion_hold_matches_config(self):
+        """scan_to_scan_step must apply the SAME suspect-fitness motion hold
+        as the batch path (ADVICE r4: they diverged — step mode fell back to
+        the prior, documented as measured-worse-than-blind)."""
+        from icp4dradar_tpu.models import scan_to_scan_init, scan_to_scan_step
+
+        seq = make_seq(frames=6)
+        scans = [seq.scan(k) for k in range(6)]
+        rng = np.random.default_rng(5)
+        # frame 4: structureless garbage
+        bad = scans[4].replace(xyz=jnp.asarray(
+            rng.uniform(-60, 60, np.asarray(scans[4].xyz).shape)
+            .astype(np.float32)))
+        scans[4] = bad
+        cfg = small_cfg()
+        key = jax.random.key(0)
+        state = scan_to_scan_init()
+        deltas, accepts = [], []
+        for k in range(1, 6):
+            key, sub = jax.random.split(key)
+            state, out = scan_to_scan_step(
+                state, scans[k], scans[k - 1], sub, cfg,
+                use_doppler_prior=True)
+            deltas.append(np.asarray(out.icp_transform))
+            accepts.append(bool(out.accepted))
+        # the pair registering INTO frame 4 is suspect -> held to the last
+        # accepted delta, and the state carries that delta forward
+        assert not accepts[3]                 # pair (4 <- 3)
+        np.testing.assert_allclose(deltas[3], deltas[2], atol=1e-6)
+
     def test_inf_gates_are_parity_noop(self):
         from icp4dradar_tpu.config import PipelineConfig
 

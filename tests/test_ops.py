@@ -128,6 +128,51 @@ class TestFusedIcpMoments:
         dT2, f2 = moments_to_transform(m_pal)
         np.testing.assert_allclose(np.asarray(dT1), np.asarray(dT2), atol=1e-4)
 
+    def test_exact_ties_average_payload(self):
+        """Constructed EXACT f32 ties (two distinct targets equidistant from
+        a source) must select together and average their coordinates via the
+        ones column — the deliberate semantics of the r4 (d2 <= min) one-hot
+        (random-point oracle tests never hit this measure-zero branch)."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.ops.icp_fused import icp_iteration_moments
+
+        src = np.zeros((1, 3), np.float32)
+        sm = np.ones(1, np.float32)
+        # t0/t1 at exactly d2 = 5.0 from the origin; t2 far
+        tgt = np.asarray([[1.0, 2.0, 0.0],
+                          [1.0, -2.0, 0.0],
+                          [50.0, 50.0, 50.0]], np.float32)
+        tm = np.ones(3, np.float32)
+        m = np.asarray(icp_iteration_moments(
+            jnp.eye(4), jnp.asarray(src), jnp.asarray(sm),
+            jnp.asarray(tgt), jnp.asarray(tm), interpret=True))
+        # sw=1, swp=0 (p at origin), swq = averaged tie payload (1, 0, 0)
+        np.testing.assert_allclose(m[0], 1.0)
+        np.testing.assert_allclose(m[1:4], 0.0, atol=1e-7)
+        np.testing.assert_allclose(m[4:7], [1.0, 0.0, 0.0], atol=1e-6)
+        np.testing.assert_allclose(m[16], 5.0, rtol=1e-6)   # swd2
+
+    def test_duplicated_target_rows_average_to_same_point(self):
+        """A target duplicated exactly (the other tie source in practice)
+        must average to itself — moments identical to the single-copy case."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.ops.icp_fused import icp_iteration_moments
+
+        src = np.asarray([[0.2, -0.1, 0.3]], np.float32)
+        sm = np.ones(1, np.float32)
+        t_near = np.asarray([0.5, 0.0, 0.2], np.float32)
+        tgt1 = np.stack([t_near, [9.0, 9.0, 9.0]]).astype(np.float32)
+        tgt2 = np.stack([t_near, t_near, [9.0, 9.0, 9.0]]).astype(np.float32)
+        m1 = np.asarray(icp_iteration_moments(
+            jnp.eye(4), jnp.asarray(src), jnp.asarray(sm),
+            jnp.asarray(tgt1), jnp.ones(2), interpret=True))
+        m2 = np.asarray(icp_iteration_moments(
+            jnp.eye(4), jnp.asarray(src), jnp.asarray(sm),
+            jnp.asarray(tgt2), jnp.ones(3), interpret=True))
+        np.testing.assert_allclose(m2, m1, rtol=1e-6, atol=1e-7)
+
     def test_moments_recover_transform(self, rng):
         import jax.numpy as jnp
 
@@ -230,6 +275,110 @@ class TestVgicpFrozen:
             ts=64, interpret=True)          # conflicting ts must be ignored
         for a, b in zip(got, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestVgicpBatched:
+    def test_batched_sweep_matches_per_frame(self, rng):
+        """vgicp_iteration_batch (per-source-block transforms, one kernel
+        for B frames vs a shared target) must reproduce B independent
+        vgicp_iteration calls exactly — the correctness contract of the
+        frame-parallel blocked tracker (r5)."""
+        import jax
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.geom import se3_exp
+        from icp4dradar_tpu.ops.vgicp_fused import (
+            radar_point_covariances_packed,
+            vgicp_iteration,
+            vgicp_iteration_batch,
+        )
+
+        B, N, M = 3, 128, 256
+        src = rng.uniform(-20, 20, (B, N, 3)).astype(np.float32)
+        sm = (rng.uniform(size=(B, N)) > 0.1).astype(np.float32)
+        scov = jax.vmap(radar_point_covariances_packed)(jnp.asarray(src))
+        tgt = rng.uniform(-20, 20, (M, 3)).astype(np.float32)
+        tcov = np.abs(rng.normal(0.05, 0.02, (M, 6))).astype(np.float32)
+        tmask = np.ones(M, np.float32)
+        Ts = jnp.stack([se3_exp(jnp.asarray(v, jnp.float32)) for v in
+                        [[.1, -.2, .05, .02, 0, .1],
+                         [0, .1, 0, 0, .05, 0],
+                         [-.1, 0, .2, .01, 0, 0]]])
+        Hb, gb, cb, wb, db = vgicp_iteration_batch(
+            Ts, jnp.asarray(src), jnp.asarray(sm), scov, jnp.asarray(tgt),
+            jnp.asarray(tcov), jnp.asarray(tmask), ts=64, interpret=True)
+        for b in range(B):
+            H, g, c, w, d = vgicp_iteration(
+                Ts[b], jnp.asarray(src[b]), jnp.asarray(sm[b]), scov[b],
+                jnp.asarray(tgt), jnp.asarray(tcov), jnp.asarray(tmask),
+                ts=64, interpret=True)
+            np.testing.assert_allclose(np.asarray(Hb[b]), np.asarray(H),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(gb[b]), np.asarray(g),
+                                       rtol=1e-6, atol=1e-6)
+            assert float(wb[b]) == float(w)
+            np.testing.assert_allclose(float(db[b]), float(d), rtol=1e-6)
+
+
+class TestVgicpTieAveraging:
+    def test_exact_ties_average_mean_and_cov(self):
+        """Two voxels at EXACTLY equal f32 distance from a source must tie-
+        average their mean AND covariance payloads (deliberate-tie pin of
+        the (d2 <= min) one-hot branch; random oracles never exercise it)."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.ops.vgicp_fused import (
+            best_payload_to_rows,
+            radar_point_covariances_packed,
+            vgicp_iteration,
+        )
+
+        src = np.zeros((1, 3), np.float32)
+        sm = np.ones(1, np.float32)
+        scov = radar_point_covariances_packed(jnp.asarray(
+            np.asarray([[1.0, 0.0, 0.0]], np.float32)))
+        tgt = np.asarray([[1.0, 2.0, 0.0],
+                          [1.0, -2.0, 0.0],
+                          [40.0, 40.0, 40.0]], np.float32)
+        tcov = np.asarray([[0.04, 0.02, 0.06, 0.0, 0.0, 0.0],
+                           [0.08, 0.10, 0.02, 0.01, 0.0, 0.0],
+                           [0.05, 0.05, 0.05, 0.0, 0.0, 0.0]], np.float32)
+        tmask = np.ones(3, np.float32)
+        *_, best = vgicp_iteration(
+            jnp.eye(4), jnp.asarray(src), jnp.asarray(sm), scov,
+            jnp.asarray(tgt), jnp.asarray(tcov), jnp.asarray(tmask),
+            max_correspondence_dist=10.0, interpret=True, return_best=True)
+        row = np.asarray(best_payload_to_rows(best, 1))[0]
+        np.testing.assert_allclose(row[0], 5.0, rtol=1e-6)          # d2
+        np.testing.assert_allclose(row[1:4], [1.0, 0.0, 0.0], atol=1e-6)
+        np.testing.assert_allclose(row[4:10], (tcov[0] + tcov[1]) / 2,
+                                   rtol=1e-6)
+
+    def test_all_dead_tile_never_wins(self):
+        """With every target masked out the tile's d2 saturates at the 1e30
+        penalty; the (meaningless) averaged payload must never beat the
+        running best, so the GN accumulators stay exactly zero."""
+        import jax.numpy as jnp
+
+        from icp4dradar_tpu.ops.vgicp_fused import (
+            radar_point_covariances_packed,
+            vgicp_iteration,
+        )
+
+        src = np.asarray([[0.5, 0.2, -0.1]], np.float32)
+        sm = np.ones(1, np.float32)
+        scov = radar_point_covariances_packed(jnp.asarray(src))
+        tgt = np.zeros((8, 3), np.float32)
+        tcov = np.full((8, 6), 0.05, np.float32)
+        tmask = np.zeros(8, np.float32)
+        H, g, cost, wsum, d2sum = vgicp_iteration(
+            jnp.eye(4), jnp.asarray(src), jnp.asarray(sm), scov,
+            jnp.asarray(tgt), jnp.asarray(tcov), jnp.asarray(tmask),
+            interpret=True)
+        assert float(wsum) == 0.0
+        np.testing.assert_allclose(np.asarray(H), 0.0)
+        np.testing.assert_allclose(np.asarray(g), 0.0)
+        assert float(cost) == 0.0
 
 
 class TestVgicpBandGating:

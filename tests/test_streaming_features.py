@@ -32,6 +32,37 @@ class TestStreamingSession:
         err = np.linalg.norm(sess.pose[:3, 3] - seq.poses[5][:3, 3])
         assert err < 0.5, err
 
+    def test_micro_batch_matches_per_frame_tracking(self):
+        """process_batch (B frames per dispatch — the tunnel-amortized bag
+        replay feed, r5) must track like B sequential process calls: same
+        map/pose chain semantics, stacked outputs, and the session mixes
+        freely between per-frame and batched feeding."""
+        from icp4dradar_tpu.io.scan import stack_scans
+
+        F = 16
+        seq = SyntheticSequence(num_frames=F, max_points=1024,
+                                num_landmarks=3000, world_extent=70.0,
+                                max_range=60.0)
+        frames = [seq.scan(k) for k in range(F)]
+
+        per = OdometrySession(small_cfg())
+        for f in frames:
+            per.process(f)
+
+        bat = OdometrySession(small_cfg())
+        bat.process(frames[0])                       # mix: one per-frame
+        outs = bat.process_batch(stack_scans(frames[1:9]))
+        assert outs.world_T.shape == (8, 4, 4)
+        outs2 = bat.process_batch(stack_scans(frames[9:]), block=0)
+        assert bat.frame == F and bat.skipped_frames == 0
+        # RNG streams differ between the two feeds (per-frame splits vs one
+        # split per batch), so trajectories agree to tracking tolerance,
+        # not bitwise
+        err = np.linalg.norm(bat.pose[:3, 3] - per.pose[:3, 3])
+        assert err < 0.3, err
+        gt_err = np.linalg.norm(bat.pose[:3, 3] - seq.poses[F - 1][:3, 3])
+        assert gt_err < 0.5, gt_err
+
     def test_checkpoint_resume_continues_identically(self, tmp_path):
         seq = SyntheticSequence(num_frames=8, max_points=1024,
                                 num_landmarks=3000, world_extent=70.0,
