@@ -32,3 +32,10 @@ from icp4dradar_tpu.parallel.distributed_pipeline import (  # noqa: F401
     run_scan_to_map_distributed,
     save_distributed_state,
 )
+from icp4dradar_tpu.parallel.multihost import (  # noqa: F401
+    assemble_global_scans,
+    global_mesh,
+    maybe_initialize_distributed,
+    process_frame_slice,
+    run_scan_to_map_multihost,
+)
