@@ -85,7 +85,14 @@ class IcpConfig:
 
     max_iterations: int = 10            # PCL default (setMaximumIterations commented, :513)
     max_correspondence_dist: float = 1e8  # PCL default: effectively ungated
-    transformation_epsilon: float = 0.0   # PCL default
+    # Convergence epsilon on sum|xi| of the 6-dim incremental twist. PCL's
+    # default is 0.0 (all 10 iterations always run); ours is 1e-3 — the
+    # frame-parallel batch runs its vmapped while_loop in lockstep, so the
+    # whole batch exits once EVERY pair's step is sub-millimeter.
+    # Measured (v5e, 1024-frame bench sequence): 3412 -> 4866 scans/s at
+    # ATE 1.9761 -> 1.9764 m (identical to measurement noise). Set 0.0 for
+    # bit-level PCL parity; 1e-2 reads 5440 scans/s but costs +1% ATE.
+    transformation_epsilon: float = 1e-3
     fitness_epsilon: float = -1.0         # disabled, like PCL default
 
 

@@ -58,11 +58,12 @@ def _make_icp_moments_kernel(max_d2: float):
         # (A K=3 MXU matmul for the cross term measured SLOWER than these
         # VPU passes: f32-highest matmuls decompose into multiple bf16
         # passes and K pads to 128 — 43x contraction waste.)
-        d2 = jnp.zeros((tm, ts), jnp.float32)
+        # penalty column seeds the accumulator (one full-tile pass saved
+        # vs zeros-init + post-add)
+        d2 = jnp.broadcast_to(t5[:, 3][:, None], (tm, ts))
         for k in range(3):
             diff = t5[:, k:k + 1] - p[k][None, :]
-            d2 += diff * diff
-        d2 += t5[:, 3][:, None]
+            d2 = d2 + diff * diff
 
         dmin = jnp.min(d2, axis=0)                               # (TS,)
         # tie-averaging (d2 <= min) one-hot (the r4 vgicp structure): drops

@@ -86,11 +86,12 @@ def _nn_kernel(src_ref, tgt_ref, bestd_ref, besti_ref):
 
     s = src_ref[:]                       # (TS, 3)
     t4 = tgt_ref[:]                      # (TM, 4): xyz + mask penalty column
-    d2 = jnp.zeros((tm, s.shape[0]), jnp.float32)   # (TM, TS)
+    # penalty column seeds the accumulator (masked targets -> +BIG; one
+    # full-tile pass saved vs zeros-init + post-add)
+    d2 = jnp.broadcast_to(t4[:, 3][:, None], (tm, s.shape[0]))  # (TM, TS)
     for k in range(3):
         diff = t4[:, k:k + 1] - s[:, k][None, :]
-        d2 += diff * diff
-    d2 += t4[:, 3][:, None]              # masked targets -> +BIG
+        d2 = d2 + diff * diff
 
     local_min = jnp.min(d2, axis=0)                          # (TS,)
     rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
@@ -187,11 +188,11 @@ def _nn_coords_kernel(src_ref, tgt_ref, bestd_ref, bestq_ref):
 
     s = src_ref[:]                       # (TS, 3)
     t4 = tgt_ref[:]                      # (TM, 4)
-    d2 = jnp.zeros((tm, s.shape[0]), jnp.float32)
+    # penalty column seeds the accumulator (one full-tile pass saved)
+    d2 = jnp.broadcast_to(t4[:, 3][:, None], (tm, s.shape[0]))
     for k in range(3):
         diff = t4[:, k:k + 1] - s[:, k][None, :]
-        d2 += diff * diff
-    d2 += t4[:, 3][:, None]
+        d2 = d2 + diff * diff
 
     local_min = jnp.min(d2, axis=0)                          # (TS,)
     rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)

@@ -157,11 +157,12 @@ def _make_vgicp_kernel(max_d2: float, cov_eps: float, use_gate: bool):
             # d2 saturates to the 1e30 penalty (f32 absorbs the real
             # distances) — the averaged payload is meaningless but its
             # distance stays 1e30, so it never wins the running best.
-            d2 = jnp.zeros((tm, ts), jnp.float32)
+            # penalty column seeds the accumulator (one full-tile pass
+            # saved vs zeros-init + post-add)
+            d2 = jnp.broadcast_to(t[:, 9][:, None], (tm, ts))
             for k in range(3):
                 diff = t[:, k:k + 1] - p[k][None, :]
-                d2 += diff * diff
-            d2 += t[:, 9][:, None]
+                d2 = d2 + diff * diff
             dmin_j = jnp.min(d2, axis=0)
             onehot = (d2 <= dmin_j[None, :]).astype(jnp.float32)
             # matched mean+cov payload (+ tie count) via ONE MXU matmul

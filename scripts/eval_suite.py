@@ -344,10 +344,15 @@ def main() -> int:
 
     bag_row = {"scenario": "coloradar-lz4-bag-cli"}
     with tempfile.TemporaryDirectory() as td:
+        # 256 frames (r5): the steady-state replay number carries ~8-10
+        # fixed dispatches (front-end, loop ICP, miner, solves) of ~25 ms
+        # tunnel latency each — at 64 frames that floor dominated the rate
+        # (CLAUDE.md e2e sizing rule: make the fixed share small)
         bag_seq = SyntheticSequence(
-            num_frames=24 if args.quick else 64, max_points=2048, num_landmarks=8000,
-            world_extent=150.0, max_range=80.0, seed=0,
-            speed=1.0, turn_rate=0.03, dynamic_fraction=0.1,
+            num_frames=24 if args.quick else 256, max_points=2048,
+            num_landmarks=8000 if args.quick else 30000,
+            world_extent=150.0 if args.quick else 300.0, max_range=80.0,
+            seed=0, speed=1.0, turn_rate=0.03, dynamic_fraction=0.1,
             pos_noise=0.02, vendor_profile="coloradar")
         bag_path = os.path.join(td, "coloradar_synth.bag")
         write_synthetic_bag(bag_path, bag_seq, fmt="coloradar",

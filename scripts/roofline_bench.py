@@ -11,7 +11,7 @@ Usage:
   python scripts/roofline_bench.py --cpu     # smoke only (fractions
                                              # meaningless off-chip)
 
-Writes docs/roofline_r4.json and prints the table to stderr.
+Writes docs/roofline_r5.json and prints the table to stderr.
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ def main(argv=None) -> int:
     p.add_argument("--reps", type=int, default=0,
                    help="iterations inside the timing scan "
                         "(default 256 TPU / 2 CPU)")
-    p.add_argument("--out", default="docs/roofline_r4.json")
+    p.add_argument("--out", default="docs/roofline_r5.json")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -56,10 +56,10 @@ def main(argv=None) -> int:
     for rep in reports:
         print(roofline.format_report(rep), file=sys.stderr)
 
-    if args.cpu and args.out == "docs/roofline_r4.json":
+    if args.cpu and args.out == "docs/roofline_r5.json":
         args.out = ""            # never shadow the TPU artifact with smoke
     out = {
-        "bench": "roofline_r4",
+        "bench": "roofline_r5",
         "backend": backend,
         "valid_utilization": backend == "tpu",
         "peaks": {

@@ -5,7 +5,7 @@ iterations), and the measured empty-chain floor is subtracted. This gives
 true per-stage costs free of the ~25 ms axon-tunnel dispatch latency that
 inflated r3's standalone-dispatch numbers (docs/PERFORMANCE.md r4 note).
 
-Usage: python scripts/stage_times.py [--reps 256] [--out docs/stage_times_r4.json]
+Usage: python scripts/stage_times.py [--reps 256] [--out docs/stage_times_r5.json]
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--reps", type=int, default=256)
-    p.add_argument("--out", default="docs/stage_times_r4.json")
+    p.add_argument("--out", default="docs/stage_times_r5.json")
     args = p.parse_args(argv)
 
     import jax
@@ -184,7 +184,7 @@ def main(argv=None) -> int:
             vm, c + e, 2.0 * vmcfg.sector_radius).occupied),
         vm, center))
 
-    out = {"bench": "stage_times_r4", "backend": jax.default_backend(),
+    out = {"bench": "stage_times_r5", "backend": jax.default_backend(),
            "reps": reps, "floor_ms": round(floor * 1e3, 4),
            "stages_ms": rows,
            "note": ("carried-chain in-jit timing, floor-subtracted; "
