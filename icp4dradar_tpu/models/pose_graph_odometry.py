@@ -105,7 +105,15 @@ def _jitted_structure_miner(cfg: PipelineConfig):
                  + frame_poses[:, None, :3, 3])
         vm = voxel_map_create(capacity=cfg.voxel_map.capacity,
                               voxel_size=cfg.voxel_map.voxel_size)
-        vm = voxel_map_insert(vm, world.reshape(-1, 3), mask.reshape(-1))
+        # whole-trajectory batch insert: F*N rows feed ~11 scatter/gather
+        # ops whose cost is LINEAR in rows (r5); compacting to per-voxel
+        # leaders bounds them at half the table (unique voxels can't
+        # exceed capacity anyway — overflow would drop in probe pressure)
+        rows = world.shape[0] * world.shape[1]
+        budget = min(rows, cfg.voxel_map.capacity // 2)
+        vm = voxel_map_insert(vm, world.reshape(-1, 3), mask.reshape(-1),
+                              leader_budget=budget if budget < rows
+                              else None)
         comp, cmask, _ = jax.vmap(
             lambda x, m: mask_compact(x, m, N))(kf_xyz, kf_mask)
         K = kf_xyz.shape[0]

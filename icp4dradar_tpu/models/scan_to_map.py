@@ -406,8 +406,19 @@ def run_scan_to_map_blocked(
     parallel_frames: bool = True,
     init_state: Optional[ScanToMapState] = None,
     rigid_union: bool = False,
+    sequential_fallback: bool = True,
 ) -> Tuple[ScanToMapState, ScanToMapOutput]:
     """Scan-to-map tracking with map updates amortized over `block` frames.
+
+    `sequential_fallback` (default on): when any frame of a parallel block
+    looks lost after the joint GN (effective fitness above the tracking
+    gate — includes the matched-weight loss signal), the whole block
+    re-tracks SEQUENTIALLY inside a lax.cond: healthy blocks never pay it,
+    adverse blocks (sparse TI-class scans, dynamic-heavy scenes — measured
+    walk-offs to 8-18 m without it) get the r4 path's per-frame correction
+    chaining. Set False under vmap (run_scan_to_map_batch does): a vmapped
+    lax.cond executes BOTH branches, which would make serving pay the
+    sequential path always.
 
     `rigid_union` (sparse-vendor mitigation, cfg-driven via
     run_odometry --accumulate): register each block's scans as ONE rigid
@@ -557,8 +568,25 @@ def run_scan_to_map_blocked(
                                           scan.intensity)
 
     def block_step(carry, inp):
-        state, prev_rot = carry
+        state, prev_rot, held_vel, has_vel = carry
         scans_b, est_b, cov_b = inp[0], inp[1], inp[2]
+        # velocity hold (r5): frames whose REVE estimate is invalid
+        # (interference bursts, unalignable scans) dead-reckon on the LAST
+        # valid ego velocity instead of freezing — a frozen prediction
+        # falls 1 frame of motion behind per dropped frame and exits the
+        # correspondence gate for good (measured: a 4-frame outage left a
+        # permanent 4 m offset). Constant-velocity is exactly the platform
+        # assumption the reference's 100 Hz loop makes implicitly.
+        vels, valids = [], []
+        hv, hb = held_vel, has_vel
+        for k in range(block):
+            hv = jnp.where(est_b.valid[k], est_b.velocity[k], hv)
+            hb = hb | est_b.valid[k]
+            vels.append(hv)
+            valids.append(hb)
+        est_b = est_b.replace(velocity=jnp.stack(vels),
+                              valid=jnp.stack(valids))
+        held_vel, has_vel = hv, hb
         pose0 = state.world_T
         heading = matrix_to_rpy(pose0[:3, :3])[2]
         _, submask, sub_n, sub_mean, sub_cov = (
@@ -629,85 +657,69 @@ def run_scan_to_map_blocked(
                 # a frame whose prediction drifted past the correspondence
                 # gate matches nothing and reports fitness 0 — fold the
                 # matched fraction into an EFFECTIVE fitness so both the
-                # salvage predicate and the tracking gate see the failure
+                # fallback predicate and the tracking gate see the failure
                 nval = jnp.maximum(jnp.sum(est_b.inlier_mask, axis=-1), 1.0)
+                lost = (wsum / nval) < 0.25
+                g = g.replace(fitness=jnp.where(
+                    lost, jnp.asarray(1e6, g.fitness.dtype), g.fitness))
 
-                def eff_fitness(gr, ws):
-                    lost = (ws / nval) < 0.25
-                    return jnp.where(lost, jnp.asarray(1e6, gr.fitness.dtype),
-                                     gr.fitness)
+            def parallel_done(_):
+                new_T, masks, _ = jax.vmap(
+                    lambda p, t, f, m: _apply_tracking_gate(cfg, p, t, f, m)
+                )(preds, g.transform, g.fitness, est_b.inlier_mask)
+                world_pts = jax.vmap(se3_apply)(new_T, scans_b.xyz)
+                outs = ScanToMapOutput(
+                    world_T=new_T,
+                    correction=jax.vmap(
+                        lambda t, p: t @ se3_inverse(p))(new_T, preds),
+                    velocity=est_b.velocity,
+                    velocity_sigma=est_b.sigma,
+                    velocity_valid=est_b.valid,
+                    fitness=g.fitness,
+                    num_inliers=jnp.sum(est_b.inlier_mask, axis=-1),
+                    submap_points=jnp.broadcast_to(sub_n, (block,)),
+                    iterations=g.iterations,
+                    insert_mask=masks,
+                )
+                pose = new_T[-1]
+                # cv-rot seed for the next block from the last two
+                # CORRECTED poses (both ends refined — tighter than the
+                # sequential path's prior-inclusive delta)
+                blk_delta = se3_inverse(new_T[-2]) @ new_T[-1]
+                pr = jnp.eye(4, dtype=blk_delta.dtype).at[:3, :3].set(
+                    so3_project(blk_delta[:3, :3]))
+                return (pose, pr, outs, world_pts, masks,
+                        scans_b.intensity)
 
-                fit1 = eff_fitness(g, wsum)
-                # sparse-regime salvage (r5): noisy priors (TI-class 41-pt
-                # scans) can drift late-block predictions past the
-                # correspondence gate, where the joint GN finds nothing and
-                # tracking walks off (measured 0.7 -> 17 m ATE on
-                # ti_mmwave). When any frame looks lost/suspect, re-chain
-                # predictions off the ACCEPTED pass-1 corrections (one
-                # frame of prior noise each — the sequential path's
-                # property) and re-register; healthy dense blocks skip the
-                # second pass at runtime (lax.cond).
-                ok = (fit1 < cfg.tracking.max_fitness) & jnp.isfinite(fit1)
+            def sequential_retrack(_):
+                # adverse-regime fallback (r5): block-long prior chains can
+                # drift past the correspondence gate (sparse TI-class scans,
+                # dynamic-heavy scenes), where the joint GN matches nothing
+                # and the one-shot re-chained salvage can only re-lock one
+                # frame per pass (measured: 0.7 -> 8-18 m ATE walk-offs).
+                # Re-track the WHOLE block sequentially — each frame's
+                # prediction is one prior step from the previous frame's
+                # CORRECTION, the property that keeps the r4 path stable.
+                frame_in = [scans_b, est_b, cov_b]
+                if rest_pd is not None:
+                    frame_in.append(inp[3])
+                (pose, pr, _), (outs_s, wpts, masks_s, intens_s) = (
+                    jax.lax.scan(
+                        frame_step,
+                        (pose0, prev_rot,
+                         (sub_mean, sub_cov, submask, sub_n, axis2)),
+                        tuple(frame_in)))
+                return pose, pr, outs_s, wpts, masks_s, intens_s
 
-                def salvage(_):
-                    deltas = [se3_inverse(pose0) @ preds[0]] + [
-                        se3_inverse(preds[k - 1]) @ preds[k]
-                        for k in range(1, block)]
-                    pred2 = []
-                    prev = pose0
-                    for k in range(block):
-                        if k == 0:
-                            base = pose0
-                        else:
-                            base = jnp.where(ok[k - 1], g.transform[k - 1],
-                                             prev)
-                        prev = base @ deltas[k]
-                        pred2.append(prev)
-                    pred2 = jnp.stack(pred2)
-                    g2, wsum2 = vgicp_align_block(
-                        scans_b.xyz, sub_mean, sub_cov, est_b.inlier_mask,
-                        submask, cov_b, pred2, cfg=cfg.gicp,
-                        tgt_count=sub_n, gate_axis=axis2)
-                    fit2 = eff_fitness(g2, wsum2)
-                    okn = ok[:, None]
-                    return (jnp.where(okn[..., None], g.transform,
-                                      g2.transform),
-                            jnp.where(ok, fit1, fit2),
-                            g.iterations + g2.iterations,
-                            jnp.where(okn[..., None], preds, pred2))
-
-                def keep(_):
-                    return g.transform, fit1, g.iterations, preds
-
-                Tt, fit, iters, preds = jax.lax.cond(
-                    jnp.any(~ok), salvage, keep, None)
-                g = GicpResult(transform=Tt, converged=g.converged,
-                               fitness=fit, iterations=iters)
-            new_T, masks, _ = jax.vmap(
-                lambda p, t, f, m: _apply_tracking_gate(cfg, p, t, f, m)
-            )(preds, g.transform, g.fitness, est_b.inlier_mask)
-            world_pts = jax.vmap(se3_apply)(new_T, scans_b.xyz)
-            intens = scans_b.intensity
-            outs = ScanToMapOutput(
-                world_T=new_T,
-                correction=jax.vmap(
-                    lambda t, p: t @ se3_inverse(p))(new_T, preds),
-                velocity=est_b.velocity,
-                velocity_sigma=est_b.sigma,
-                velocity_valid=est_b.valid,
-                fitness=g.fitness,
-                num_inliers=jnp.sum(est_b.inlier_mask, axis=-1),
-                submap_points=jnp.broadcast_to(sub_n, (block,)),
-                iterations=g.iterations,
-                insert_mask=masks,
-            )
-            pose = new_T[-1]
-            # cv-rot seed for the next block from the last two CORRECTED
-            # poses (both ends refined — tighter than the sequential path's
-            # prior-inclusive delta)
-            blk_delta = se3_inverse(new_T[-2]) @ new_T[-1]
-            prev_rot = jnp.eye(4, dtype=blk_delta.dtype).at[:3, :3].set(
-                so3_project(blk_delta[:3, :3]))
+            if sequential_fallback and not rigid_union:
+                healthy = jnp.all((g.fitness < cfg.tracking.max_fitness)
+                                  & jnp.isfinite(g.fitness))
+                pose, prev_rot, outs, world_pts, masks, intens = (
+                    jax.lax.cond(healthy, parallel_done,
+                                 sequential_retrack, None))
+            else:
+                pose, prev_rot, outs, world_pts, masks, intens = (
+                    parallel_done(None))
         else:
             frame_in = [scans_b, est_b, cov_b]
             if rest_pd is not None:
@@ -734,13 +746,17 @@ def run_scan_to_map_blocked(
             # inserting (tombstones preserve probe chains by design)
             vmap = voxel_map_maybe_rehash(
                 vmap, vmcfg.rehash_tombstone_fraction)
-        return (ScanToMapState(world_T=pose, vmap=vmap), prev_rot), outs
+        return (ScanToMapState(world_T=pose, vmap=vmap), prev_rot,
+                held_vel, has_vel), outs
 
     block_in = [rest, est_blocks, cov_blocks]
     if rest_pd is not None:
         block_in.append(rest_pd)
-    (state, _), blk_outs = jax.lax.scan(block_step, (state, prev_rot0),
-                                        tuple(block_in))
+    (state, _, _, _), blk_outs = jax.lax.scan(
+        block_step,
+        (state, prev_rot0, jnp.zeros(3, scans.xyz.dtype),
+         jnp.asarray(False)),
+        tuple(block_in))
     blk_outs = jax.tree.map(
         lambda x: x.reshape((nblocks * block,) + x.shape[2:]), blk_outs)
     if warm_outs is None:
@@ -771,6 +787,10 @@ def run_scan_to_map_batch(
     B = scans.xyz.shape[0]
     keys = jax.random.split(key, B)
     if block > 1:
+        # a vmapped lax.cond runs BOTH branches, so the blocked runner's
+        # sequential fallback would execute for every block of every
+        # stream; serving assumes benign dense streams and disables it
+        kwargs.setdefault("sequential_fallback", False)
         return jax.vmap(
             lambda s, k: run_scan_to_map_blocked(s, cfg, key=k, block=block,
                                                  **kwargs)

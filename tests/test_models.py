@@ -238,6 +238,33 @@ class TestScanToMap:
         assert np.isfinite(pb).all()
         assert np.abs(pa - pb).max() < 0.25, np.abs(pa - pb).max()
 
+    def test_blocked_sequential_fallback_contains_adverse_block(self):
+        """When a whole block's registrations look lost (here: a block of
+        scans displaced 60 m sideways), the parallel runner's sequential
+        fallback must re-track the block per-frame — pose stays finite,
+        proper (det 1), and recovers after the outage (r5: without the
+        fallback, adverse regimes walked off 8-18 m with collapsed
+        rotations)."""
+        seq = make_seq(frames=24)
+        scans = stack_scans([seq.scan(k) for k in range(len(seq))])
+        rng = np.random.default_rng(7)
+        xyz = np.asarray(scans.xyz).copy()
+        # half a block of structureless junk (interference burst) — the
+        # unalignable case: effective fitness must flag it and the
+        # fallback's per-frame gates must hold the prior instead
+        xyz[12:16] = rng.uniform(-60, 60, xyz[12:16].shape).astype(xyz.dtype)
+        scans = scans.replace(xyz=jnp.asarray(xyz))
+        from icp4dradar_tpu.models import run_scan_to_map_blocked
+
+        _, outs = run_scan_to_map_blocked(
+            scans, small_cfg(), block=8, use_const_velocity_rot=True)
+        P = np.asarray(outs.world_T)
+        assert np.isfinite(P).all()
+        dets = np.linalg.det(P[:, :3, :3])
+        np.testing.assert_allclose(dets, 1.0, atol=1e-2)
+        err = np.linalg.norm(P[:, :3, 3] - seq.poses[:, :3, 3], axis=1)
+        assert err[-3:].max() < 0.6, err   # recovered after the outage
+
     def test_blocked_bad_shape_raises(self):
         from icp4dradar_tpu.models import run_scan_to_map_blocked
 
